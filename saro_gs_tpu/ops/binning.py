@@ -1,0 +1,92 @@
+"""Tile binning: instance expansion + depth sort + chunk-aligned layout.
+
+TPU-native replacement for the reference's cub-based pipeline
+(rasterizer_impl.cu:70-138, 275-319).  Differences by design:
+
+  * Instance expansion is a GATHER (searchsorted over the cumulative
+    tiles-touched offsets), not a scatter — static shapes, no atomics.
+  * The (tile, depth) sort uses ``jax.lax.sort`` with two lexicographic keys
+    (stable, so equal keys keep emission order like cub's radix sort).
+  * Each tile's instance range is PADDED to a multiple of ``chunk`` so that
+    downstream Pallas kernels can DMA whole aligned chunks that belong to
+    exactly one tile (padding slots carry gaussian id -1).
+  * Capacity is static (``max_instances``); overflow is detected and
+    reported via ``num_dropped`` instead of a device->host sync
+    (the reference does a D2H copy of the instance total every call,
+    rasterizer_impl.cu:282).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import PreprocessOut
+
+
+class BinningOut(NamedTuple):
+    point_list: jnp.ndarray    # [MI_PAD] int32 gaussian ids, -1 = padding
+    tile_start: jnp.ndarray    # [NT] int32 offset into point_list (chunk-aligned)
+    tile_count: jnp.ndarray    # [NT] int32 number of real instances
+    num_instances: jnp.ndarray  # [] int32 total real instances emitted
+    num_dropped: jnp.ndarray   # [] int32 instances that exceeded capacity
+
+
+def padded_size(max_instances: int, num_tiles: int, chunk: int) -> int:
+    return max_instances + num_tiles * chunk
+
+
+def bin_gaussians(pre: PreprocessOut, grid_x: int, grid_y: int,
+                  max_instances: int, chunk: int) -> BinningOut:
+    num_tiles = grid_x * grid_y
+    n = pre.tiles_touched.shape[0]
+    mi = max_instances
+    mi_pad = padded_size(mi, num_tiles, chunk)
+
+    tiles = pre.tiles_touched
+    offsets = jnp.cumsum(tiles) - tiles            # exclusive prefix sum
+    total = offsets[-1] + tiles[-1] if n > 0 else jnp.int32(0)
+
+    # --- instance expansion (duplicateWithKeys, rasterizer_impl.cu:90-112) ---
+    inst = jnp.arange(mi, dtype=jnp.int32)
+    gauss = jnp.searchsorted(offsets, inst, side='right').astype(jnp.int32) - 1
+    gauss = jnp.clip(gauss, 0, n - 1)
+    local = inst - offsets[gauss]
+    rw = jnp.maximum(pre.rect_max[gauss, 0] - pre.rect_min[gauss, 0], 1)
+    tx = pre.rect_min[gauss, 0] + local % rw
+    ty = pre.rect_min[gauss, 1] + local // rw
+    tile_id = ty * grid_x + tx
+    valid = inst < jnp.minimum(total, mi)
+    # Emitted by gaussians with tiles_touched == 0 never happens: offsets
+    # strictly skip them (searchsorted lands on a touching gaussian).
+    tile_id = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
+
+    # --- lexicographic stable sort by (tile, depth) ------------------------
+    depth_key = pre.depth[gauss].astype(jnp.float32)
+    depth_key = jnp.where(valid, depth_key, jnp.inf)
+    tile_sorted, _, gauss_sorted = jax.lax.sort(
+        (tile_id, depth_key, gauss), num_keys=2)
+
+    # --- per-tile ranges (identifyTileRanges, :116-138) --------------------
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    start = jnp.searchsorted(tile_sorted, tids, side='left').astype(jnp.int32)
+    end = jnp.searchsorted(tile_sorted, tids + 1, side='left').astype(jnp.int32)
+    count = end - start
+
+    # --- chunk-aligned re-layout ------------------------------------------
+    padded_count = ((count + chunk - 1) // chunk) * chunk
+    padded_start = jnp.cumsum(padded_count) - padded_count
+    rank = jnp.arange(mi, dtype=jnp.int32) - start[jnp.clip(tile_sorted, 0, num_tiles - 1)]
+    in_range = tile_sorted < num_tiles
+    pos = jnp.where(in_range,
+                    padded_start[jnp.clip(tile_sorted, 0, num_tiles - 1)] + rank,
+                    mi_pad)
+    point_list = jnp.full((mi_pad,), -1, dtype=jnp.int32)
+    point_list = point_list.at[pos].set(gauss_sorted, mode='drop')
+
+    num_dropped = jnp.maximum(total - mi, 0).astype(jnp.int32)
+    return BinningOut(point_list=point_list, tile_start=padded_start,
+                      tile_count=count,
+                      num_instances=jnp.minimum(total, mi).astype(jnp.int32),
+                      num_dropped=num_dropped)

@@ -1,0 +1,217 @@
+"""Core 3D math for Gaussian splatting, pure JAX.
+
+Conventions (all chosen to reproduce the reference pipeline semantics,
+see /root/reference/utils/graphics_utils.py and
+/root/reference/submodules/gaussian_rasterization_ch3/cuda_rasterizer/forward.cu):
+
+  * Matrices are stored in ROW-VECTOR convention: a point transforms as
+    ``p_out = p_hom @ M``.  This matches the reference, which stores
+    ``world_view_transform = getWorld2View2(R, T).T`` (cameras.py:90) and the
+    CUDA ``transformPoint4x4`` which reads the flat buffer as
+    ``out_j = sum_i p_i * M[i, j]`` (auxiliary.h:68-77).
+  * Quaternions are (r, x, y, z).  The rasterizer-side covariance build uses
+    the quaternion RAW (no normalization), matching forward.cu:127.
+  * cov3d is the symmetric 3x3 packed as the 6-vector
+    [xx, xy, xz, yy, yz, zz] (forward.cu:146-151).
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+# w-epsilon of the homogeneous divide (forward.cu:199).
+W_EPS = 1e-7
+# Low-pass filter added to the 2D covariance diagonal (forward.cu:110-111).
+COV2D_LOWPASS = 0.3
+# Frustum near-cull threshold on view-space z (auxiliary.h:154).
+NEAR_CULL_Z = 0.2
+
+
+# ---------------------------------------------------------------------------
+# Camera matrices (host-side, numpy: used when building cameras from data).
+# ---------------------------------------------------------------------------
+
+def world_to_view_matrix(R: np.ndarray, t: np.ndarray,
+                         translate=np.array([0.0, 0.0, 0.0]),
+                         scale: float = 1.0) -> np.ndarray:
+    """World->view 4x4 in row-vector convention (already transposed).
+
+    Equivalent to ``getWorld2View2(R, t, translate, scale).T``
+    (graphics_utils.py:39-50 + cameras.py:90).
+    """
+    Rt = np.zeros((4, 4))
+    Rt[:3, :3] = R.transpose()
+    Rt[:3, 3] = t
+    Rt[3, 3] = 1.0
+    C2W = np.linalg.inv(Rt)
+    cam_center = (C2W[:3, 3] + translate) * scale
+    C2W[:3, 3] = cam_center
+    Rt = np.linalg.inv(C2W)
+    return np.float32(Rt.T)
+
+
+def projection_matrix(znear: float, zfar: float, fovx: float, fovy: float,
+                      cx: float = 0.0, cy: float = 0.0) -> np.ndarray:
+    """GL-style projection 4x4, row-vector convention (already transposed).
+
+    Matches ``getProjectionMatrix(CV)`` (graphics_utils.py:52-75,114-160) with
+    the reference's ``(zfar+znear)/(zfar-znear)`` z-scale variant, followed by
+    the ``.transpose(0, 1)`` applied at cameras.py:96-99.  ``cx, cy`` are
+    principal-point offsets in the [-0.5, 0.5] ratio convention.
+    """
+    tan_half_fovy = math.tan(fovy / 2)
+    tan_half_fovx = math.tan(fovx / 2)
+    top = tan_half_fovy * znear
+    bottom = -top
+    right = tan_half_fovx * znear
+    left = -right
+    dx = (2 * tan_half_fovx * znear) * cx
+    dy = (2 * tan_half_fovy * znear) * cy
+    left += dx
+    right += dx
+    top += dy
+    bottom += dy
+
+    P = np.zeros((4, 4))
+    P[0, 0] = 2.0 * znear / (right - left)
+    P[1, 1] = 2.0 * znear / (top - bottom)
+    P[0, 2] = (right + left) / (right - left)
+    P[1, 2] = (top + bottom) / (top - bottom)
+    P[3, 2] = 1.0
+    P[2, 2] = (zfar + znear) / (zfar - znear)
+    P[2, 3] = -(zfar * znear) / (zfar - znear)
+    return np.float32(P.T)
+
+
+def fov2focal(fov: float, pixels: float) -> float:
+    return pixels / (2 * math.tan(fov / 2))
+
+
+def focal2fov(focal: float, pixels: float) -> float:
+    return 2 * math.atan(pixels / (2 * focal))
+
+
+# ---------------------------------------------------------------------------
+# Point transforms (JAX, batched over leading axes).
+# ---------------------------------------------------------------------------
+
+def transform_point_4x3(p: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] @ row-vector 4x4 -> [..., 3] (no homogeneous divide)."""
+    return p @ m[:3, :3] + m[3, :3]
+
+
+def transform_point_4x4(p: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] -> homogeneous [..., 4] through a row-vector 4x4."""
+    return p @ m[:3, :4] + m[3, :4]
+
+
+def project_points(p: jnp.ndarray, projmat: jnp.ndarray) -> jnp.ndarray:
+    """Project [..., 3] world points to NDC [..., 3] with the reference's
+    w-epsilon (forward.cu:198-200)."""
+    hom = transform_point_4x4(p, projmat)
+    inv_w = 1.0 / (hom[..., 3:4] + W_EPS)
+    return hom[..., :3] * inv_w
+
+
+def ndc2pix(v: jnp.ndarray, size) -> jnp.ndarray:
+    """NDC [-1, 1] -> pixel centers, exact reference formula
+    (auxiliary.h:41-44)."""
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+# ---------------------------------------------------------------------------
+# Rotation / covariance.
+# ---------------------------------------------------------------------------
+
+def quat_to_rotmat_raw(q: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion [..., 4] (r,x,y,z) -> rotation matrix [..., 3, 3].
+
+    The quaternion is used UN-normalized, matching the rasterizer
+    (forward.cu:127).  Row-major math matrix: ``v_rot = R @ v``.
+    """
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    row0 = jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - r * z),
+                      2 * (x * z + r * y)], axis=-1)
+    row1 = jnp.stack([2 * (x * y + r * z), 1 - 2 * (x * x + z * z),
+                      2 * (y * z - r * x)], axis=-1)
+    row2 = jnp.stack([2 * (x * z - r * y), 2 * (y * z + r * x),
+                      1 - 2 * (x * x + y * y)], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """L2-normalize quaternions (torch.nn.functional.normalize semantics,
+    saro_gaussian.py:47)."""
+    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return q / jnp.maximum(n, eps)
+
+
+def build_cov3d(scale: jnp.ndarray, mod, quat: jnp.ndarray) -> jnp.ndarray:
+    """Scale [..., 3] (+ scalar modifier) and raw quaternion [..., 4] ->
+    packed world covariance [..., 6] = [xx, xy, xz, yy, yz, zz].
+
+    forward.cu:118-152 computes ``Sigma = transpose(M) * M`` with glm's
+    column-major ``M = S * R``; unfolding the storage convention this is the
+    standard 3DGS covariance ``Sigma = R S^2 R^T`` with the Hamilton rotation
+    matrix (consistent with the Python-side ``build_scaling_rotation``,
+    general_utils.py:191-200, where cov = (R S)(R S)^T).
+    """
+    R = quat_to_rotmat_raw(quat)
+    s = mod * scale
+    M = R * s[..., None, :]          # columns scaled: M = R @ diag(s)
+    sigma = jnp.einsum('...ik,...jk->...ij', M, M)   # M M^T
+    return jnp.stack([sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
+                      sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2]],
+                     axis=-1)
+
+
+def unpack_sym3(c6: jnp.ndarray) -> jnp.ndarray:
+    """[..., 6] packed -> [..., 3, 3] symmetric."""
+    xx, xy, xz, yy, yz, zz = (c6[..., i] for i in range(6))
+    return jnp.stack([
+        jnp.stack([xx, xy, xz], axis=-1),
+        jnp.stack([xy, yy, yz], axis=-1),
+        jnp.stack([xz, yz, zz], axis=-1)], axis=-2)
+
+
+def compute_cov2d(mean: jnp.ndarray, focal_x, focal_y, tan_fovx, tan_fovy,
+                  cov3d6: jnp.ndarray, viewmat: jnp.ndarray) -> jnp.ndarray:
+    """EWA-splat 2D covariance [..., 3] = (a, b, c) of [[a, b], [b, c]].
+
+    Exact reference math (forward.cu:74-113): view-space position clamped to
+    1.3*tanfov before building the projective Jacobian, and a +0.3 low-pass on
+    the output diagonal.
+    """
+    t = transform_point_4x3(mean, viewmat)
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    tz = t[..., 2]
+    txtz = t[..., 0] / tz
+    tytz = t[..., 1] / tz
+    tx = jnp.clip(txtz, -limx, limx) * tz
+    ty = jnp.clip(tytz, -limy, limy) * tz
+
+    # Math (row-index) matrices of the CUDA column-major glm code:
+    #   J = [[fx/tz, 0, 0], [0, fy/tz, 0], [-fx tx/tz^2, -fy ty/tz^2, 0]]
+    #   W = viewmat[:3, :3]  (row-vector storage)
+    #   cov2d = T^T Sigma T  with T = W J.
+    z = jnp.zeros_like(tz)
+    J = jnp.stack([
+        jnp.stack([focal_x / tz, z, z], axis=-1),
+        jnp.stack([z, focal_y / tz, z], axis=-1),
+        jnp.stack([-(focal_x * tx) / (tz * tz),
+                   -(focal_y * ty) / (tz * tz), z], axis=-1)], axis=-2)
+    W = jnp.broadcast_to(viewmat[:3, :3], J.shape)
+    T = W @ J
+    V = unpack_sym3(cov3d6)
+    cov = jnp.einsum('...ki,...kl,...lj->...ij', T, V, T)
+    a = cov[..., 0, 0] + COV2D_LOWPASS
+    b = cov[..., 0, 1]
+    c = cov[..., 1, 1] + COV2D_LOWPASS
+    return jnp.stack([a, b, c], axis=-1)
+
+
+def inverse_sigmoid(x):
+    return jnp.log(x / (1 - x))
