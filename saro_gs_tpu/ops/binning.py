@@ -44,29 +44,47 @@ def bin_gaussians(pre: PreprocessOut, grid_x: int, grid_y: int,
     mi = max_instances
     mi_pad = padded_size(mi, num_tiles, chunk)
 
-    tiles = pre.tiles_touched
+    # --- depth-sort the GAUSSIANS once (small N-sort), so the instance sort
+    # below needs only a single stable tile key.  Ties keep original index
+    # order, matching cub's stable radix sort of (tile | depth) keys. -------
+    depth_key = jnp.where(pre.mask, pre.depth.astype(jnp.float32), jnp.inf)
+    _, order = jax.lax.sort(
+        (depth_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+
+    tiles = pre.tiles_touched[order]
     offsets = jnp.cumsum(tiles) - tiles            # exclusive prefix sum
     total = offsets[-1] + tiles[-1] if n > 0 else jnp.int32(0)
 
-    # --- instance expansion (duplicateWithKeys, rasterizer_impl.cu:90-112) ---
+    # --- instance expansion (duplicateWithKeys, rasterizer_impl.cu:90-112),
+    # as a gather: slot k belongs to the depth-sorted gaussian whose offset
+    # range contains k.  The owner rank is recovered with a scatter-max +
+    # cumulative-max instead of a binary search (a searchsorted here costs
+    # log2(N) serial gather rounds over MI slots — measured 6x slower). -----
     inst = jnp.arange(mi, dtype=jnp.int32)
-    gauss = jnp.searchsorted(offsets, inst, side='right').astype(jnp.int32) - 1
-    gauss = jnp.clip(gauss, 0, n - 1)
-    local = inst - offsets[gauss]
-    rw = jnp.maximum(pre.rect_max[gauss, 0] - pre.rect_min[gauss, 0], 1)
-    tx = pre.rect_min[gauss, 0] + local % rw
-    ty = pre.rect_min[gauss, 1] + local // rw
+    seed = jnp.zeros((mi,), jnp.int32).at[jnp.minimum(offsets, mi - 1)].max(
+        jnp.arange(n, dtype=jnp.int32), mode='drop')
+    srank = jax.lax.associative_scan(jnp.maximum, seed)
+    # pack the per-owner fields once so expansion needs two gathers, not five
+    # 11/11/10-bit packing: tile coords < 2048, rect width < 512 tiles
+    rw = jnp.maximum(pre.rect_max[order, 0] - pre.rect_min[order, 0], 1)
+    meta = (pre.rect_min[order, 0]
+            + (pre.rect_min[order, 1] << 11)
+            + (rw << 22))
+    meta_i = meta[srank]
+    off_i = offsets[srank]
+    gauss = order[srank]
+    local = inst - off_i
+    rminx = meta_i & 0x7FF
+    rminy = (meta_i >> 11) & 0x7FF
+    rw_i = meta_i >> 22
+    tx = rminx + local % rw_i
+    ty = rminy + local // rw_i
     tile_id = ty * grid_x + tx
     valid = inst < jnp.minimum(total, mi)
-    # Emitted by gaussians with tiles_touched == 0 never happens: offsets
-    # strictly skip them (searchsorted lands on a touching gaussian).
     tile_id = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
 
-    # --- lexicographic stable sort by (tile, depth) ------------------------
-    depth_key = pre.depth[gauss].astype(jnp.float32)
-    depth_key = jnp.where(valid, depth_key, jnp.inf)
-    tile_sorted, _, gauss_sorted = jax.lax.sort(
-        (tile_id, depth_key, gauss), num_keys=2)
+    # --- single-key stable sort by tile (depth order preserved) ------------
+    tile_sorted, gauss_sorted = jax.lax.sort((tile_id, gauss), num_keys=1)
 
     # --- per-tile ranges (identifyTileRanges, :116-138) --------------------
     tids = jnp.arange(num_tiles, dtype=jnp.int32)

@@ -15,8 +15,9 @@ Semantics implemented (nvdiffrast conventions):
   * the level input itself carries no gradient (the reference detaches the
     scales driving it, saro_gaussian.py:780).
 
-TPU notes: sampling is 4 gathers per level; levels are resolved with a
-`switch`-free weighted gather over the two bracketing levels.
+TPU note: the pyramid is flattened into one [C, total_texels] buffer so each
+sample gathers exactly 8 texels (4 corners x 2 bracketing levels) regardless
+of pyramid depth; per-sample level resolution is pure integer math.
 """
 from __future__ import annotations
 
@@ -24,6 +25,7 @@ from typing import List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def max_mip_levels(h: int, w: int, cap: int) -> int:
@@ -49,31 +51,26 @@ def build_pyramid(grid: jnp.ndarray, num_levels: int) -> List[jnp.ndarray]:
 
 def _bilinear(grid: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     """Sample [C, H, W] at normalized coords (u->W axis, v->H axis), clamp
-    boundary, texel centers at half-integers. Returns [N, C]."""
+    boundary, texel centers at half-integers.  Returns [N, C]."""
     c, h, w = grid.shape
     x = u * w - 0.5
     y = v * h - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
+    fx = jnp.clip(x - x0, 0, 1)
+    fy = jnp.clip(y - y0, 0, 1)
     x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
     x1i = jnp.clip(x0i + 1, 0, w - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     y1i = jnp.clip(y0i + 1, 0, h - 1)
-    # also clamp the sample position itself (clamp boundary mode)
-    fx = jnp.clip(jnp.where(x0 < 0, 0.0, jnp.where(x0 > w - 2, 1.0, fx)), 0, 1)
-    fy = jnp.clip(jnp.where(y0 < 0, 0.0, jnp.where(y0 > h - 2, 1.0, fy)), 0, 1)
-
-    g = grid  # [C, H, W]
-    v00 = g[:, y0i, x0i]
-    v01 = g[:, y0i, x1i]
-    v10 = g[:, y1i, x0i]
-    v11 = g[:, y1i, x1i]
-    top = v00 * (1 - fx) + v01 * fx
-    bot = v10 * (1 - fx) + v11 * fx
-    out = top * (1 - fy) + bot * fy
-    return out.T  # [N, C]
+    flat = grid.reshape(c, -1).T                 # [H*W, C]
+    v00 = flat[y0i * w + x0i]
+    v01 = flat[y0i * w + x1i]
+    v10 = flat[y1i * w + x0i]
+    v11 = flat[y1i * w + x1i]
+    top = v00 * (1 - fx)[:, None] + v01 * fx[:, None]
+    bot = v10 * (1 - fx)[:, None] + v11 * fx[:, None]
+    return top * (1 - fy)[:, None] + bot * fy[:, None]
 
 
 def sample_mip(grid: jnp.ndarray, coords: jnp.ndarray, level: jnp.ndarray,
@@ -84,7 +81,8 @@ def sample_mip(grid: jnp.ndarray, coords: jnp.ndarray, level: jnp.ndarray,
       grid: [C, H, W] base (learnable) plane.
       coords: [N, 2] in [0,1]; coords[:,0] indexes W, coords[:,1] indexes H.
       level: [N] fractional mip level (no gradient; stop-gradient applied).
-      max_level: static cap (0 = plain bilinear).
+      max_level: static cap (0 = plain bilinear, like the reference's time
+        planes).
     Returns [N, C].
     """
     u, v = coords[:, 0], coords[:, 1]
@@ -92,17 +90,39 @@ def sample_mip(grid: jnp.ndarray, coords: jnp.ndarray, level: jnp.ndarray,
     n_levels = max_mip_levels(h, w, max_level)
     if n_levels == 0:
         return _bilinear(grid, u, v)
-    level = jax.lax.stop_gradient(jnp.clip(level, 0.0, n_levels))
+    level = jax.lax.stop_gradient(
+        jnp.clip(level.astype(jnp.float32), 0.0, n_levels))
     pyr = build_pyramid(grid, n_levels)
-    l0 = jnp.floor(level).astype(jnp.int32)
-    frac = level - l0
-    l0 = jnp.clip(l0, 0, n_levels)
+    flat = jnp.concatenate([p.reshape(c, -1) for p in pyr], axis=1).T
+    offs = np.cumsum([0] + [int(p.shape[1] * p.shape[2]) for p in pyr])
+    offs = jnp.asarray(offs[:-1], jnp.int32)
+
+    l0 = jnp.clip(jnp.floor(level).astype(jnp.int32), 0, n_levels)
     l1 = jnp.clip(l0 + 1, 0, n_levels)
-    samples = jnp.stack([_bilinear(p, u, v) for p in pyr], axis=0)  # [L,N,C]
-    nidx = jnp.arange(c)[None, :]
-    s0 = jnp.take_along_axis(
-        samples, l0[:, None, None].repeat(1, 1), axis=0)
-    # take_along_axis needs matching dims; use simple gather instead:
-    s0 = samples[l0, jnp.arange(level.shape[0])]
-    s1 = samples[l1, jnp.arange(level.shape[0])]
+    frac = level - l0
+
+    def samp(l):
+        w_l = jnp.right_shift(w, l)
+        h_l = jnp.right_shift(h, l)
+        x = u * w_l - 0.5
+        y = v * h_l - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = jnp.clip(x - x0, 0, 1)
+        fy = jnp.clip(y - y0, 0, 1)
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, w_l - 1)
+        x1i = jnp.minimum(x0i + 1, w_l - 1)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, h_l - 1)
+        y1i = jnp.minimum(y0i + 1, h_l - 1)
+        base = offs[l]
+        v00 = flat[base + y0i * w_l + x0i]
+        v01 = flat[base + y0i * w_l + x1i]
+        v10 = flat[base + y1i * w_l + x0i]
+        v11 = flat[base + y1i * w_l + x1i]
+        top = v00 * (1 - fx)[:, None] + v01 * fx[:, None]
+        bot = v10 * (1 - fx)[:, None] + v11 * fx[:, None]
+        return top * (1 - fy)[:, None] + bot * fy[:, None]
+
+    s0 = samp(l0)
+    s1 = samp(l1)
     return s0 * (1 - frac)[:, None] + s1 * frac[:, None]

@@ -1,0 +1,398 @@
+"""Pallas TPU kernels for per-tile alpha compositing (fast path).
+
+TPU-native re-design of the reference's per-tile CUDA kernels
+(forward.cu:261-393, backward.cu:399-557).  Rather than translating the
+thread-per-pixel model, each grid step owns one tile and processes its
+depth-sorted instance list in chunks of K Gaussians as dense [K, P] matrices
+(P = pixels/tile, lanes; K on sublanes):
+
+  * alpha evaluation for a whole chunk is one batch of VPU ops,
+  * the front-to-back transmittance recurrence becomes a log-depth prefix
+    PRODUCT over the K axis (doubling with `pltpu.roll`),
+  * per-pixel early termination (T < 1e-4) is expressed in closed form:
+    a Gaussian contributes iff its prefix transmittance stays >= 1e-4
+    (T is monotonically non-increasing, so the latch is a threshold),
+  * color accumulation is an MXU matmul [3,K] @ [K,P],
+  * the backward re-walks forward with a prefix-SUM, using
+    suffix = C_fg - prefix to recover the reference's ``accum_rec``
+    (backward.cu:515-534) without a reverse traversal,
+  * per-instance gradients are DMA'd to an attribute-major [G, MI_PAD]
+    buffer (each instance belongs to exactly one tile, and per-tile ranges
+    are chunk-aligned by the binning stage, so writes never collide) —
+    fully deterministic, replacing the reference's atomicAdd backward.
+
+Instance attributes are staged attribute-major [10, MI_PAD] in HBM and
+DMA'd per chunk into VMEM (double-buffer-ready layout; aligned because
+binning pads each tile's range to the chunk size).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .compositing import (ALPHA_MAX, ALPHA_MIN, DEPTH_DEFAULT, T_EPS,
+                          ForwardTilesOut, InstanceGrads)
+
+
+def _interpret() -> bool:
+    # compiled Mosaic on real TPU; interpreter elsewhere (CPU tests)
+    return jax.default_backend() != "tpu"
+
+
+# attribute-major row indices of the staged instance tensor.
+# Row counts are padded to 16 (multiple of the f32 sublane tile, 8) so that
+# Mosaic can slice the staged arrays along dim 0.
+_ROWS = 16  # x, y, conic_a, conic_b, conic_c, opacity, r, g, b, depth, pad*6
+_GROWS = 16  # d_rgb(3), d_mean2d(2), d_conic(3), d_opacity, pad*7
+
+
+def _row_iota(k, p):
+    return jax.lax.broadcasted_iota(jnp.int32, (k, p), 0)
+
+
+def _prefix_op(x, identity, op, k):
+    """Inclusive prefix scan along axis 0 via log-depth doubling."""
+    sh = 1
+    rows = _row_iota(k, x.shape[1])
+    while sh < k:
+        shifted = pltpu.roll(x, shift=sh, axis=0)
+        shifted = jnp.where(rows < sh, identity, shifted)
+        x = op(x, shifted)
+        sh *= 2
+    return x
+
+
+def _stage_instances(point_list, mean2d, conic, opacity, rgb, depth):
+    """Gather per-instance attributes, attribute-major [10, MI_PAD] f32."""
+    n = mean2d.shape[0]
+    gid = jnp.clip(point_list, 0, n - 1)
+    valid = (point_list >= 0).astype(jnp.float32)
+    rows = [mean2d[gid, 0], mean2d[gid, 1],
+            conic[gid, 0], conic[gid, 1], conic[gid, 2],
+            opacity[gid] * valid,            # padding slots -> alpha 0
+            rgb[gid, 0], rgb[gid, 1], rgb[gid, 2],
+            depth[gid]]
+    zeros = jnp.zeros_like(rows[0])
+    rows = rows + [zeros] * (_ROWS - len(rows))
+    return jnp.stack(rows, axis=0).astype(jnp.float32)
+
+
+def _chunk_alpha(attr, pxf, pyf, k, p):
+    """Alpha matrix terms for a staged [_ROWS, K] chunk against P pixels."""
+    def row(i):
+        return attr[i, :].reshape(k, 1)
+    dx = row(0) - pxf            # [K, P]
+    dy = row(1) - pyf
+    ca, cb, cc = row(2), row(3), row(4)
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    g = jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, row(5) * g)
+    ok = (power <= 0.0) & (alpha >= ALPHA_MIN)
+    a_eff = jnp.where(ok, alpha, 0.0)
+    return dx, dy, g, alpha, a_eff, ok
+
+
+def _tile_pixel_coords(t, grid_x, tile_x, tile_y, p):
+    ox = (t % grid_x) * tile_x
+    oy = (t // grid_x) * tile_y
+    l = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    pxf = (ox + l % tile_x).astype(jnp.float32)
+    pyf = (oy + l // tile_x).astype(jnp.float32)
+    return pxf, pyf
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(starts_ref, counts_ref, attr_hbm,
+                color_ref, depth_ref, t_ref, nc_ref,
+                attr_vmem, sem,
+                *, k, p, grid_x, tile_x, tile_y):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    nchunks = pl.cdiv(count, k)
+    pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p)
+    rows = _row_iota(k, p)
+
+    def body(c, carry):
+        T_in, C_in, D_in, NC_in = carry
+        off = pl.multiple_of(start + c * k, k)   # binning chunk-aligns starts
+        dma = pltpu.make_async_copy(
+            attr_hbm.at[:, pl.ds(off, k)], attr_vmem, sem)
+        dma.start()
+        dma.wait()
+        attr = attr_vmem[:, :]
+        _, _, _, _, a_eff, _ = _chunk_alpha(attr, pxf, pyf, k, p)
+        # prefix transmittance within chunk (carry folded in)
+        tt = _prefix_op(1.0 - a_eff, 1.0, jnp.multiply, k) * T_in    # [K,P]
+        tprev = pltpu.roll(tt, shift=1, axis=0)
+        tprev = jnp.where(rows < 1, T_in, tprev)
+        live = tt >= T_EPS
+        contrib = (a_eff > 0.0) & live
+        w = jnp.where(contrib, a_eff * tprev, 0.0)
+        rgbk = attr[6:9, :]                                          # [3,K]
+        C_out = C_in + jax.lax.dot_general(
+            rgbk, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        crossing = contrib & (tprev > 0.5) & (tt < 0.5)
+        depth_k = attr[9, :].reshape(k, 1)
+        D_out = jnp.where(
+            jnp.any(crossing, axis=0, keepdims=True),
+            jnp.sum(jnp.where(crossing, depth_k, 0.0), axis=0,
+                    keepdims=True), D_in)
+        slot = c * k + rows + 1
+        NC_out = jnp.maximum(
+            NC_in, jnp.max(jnp.where(contrib, slot, 0), axis=0,
+                           keepdims=True))
+        T_out = jnp.minimum(
+            T_in, jnp.min(jnp.where(live, tt, 2.0), axis=0, keepdims=True))
+        return T_out, C_out, D_out, NC_out
+
+    T0 = jnp.ones((1, p), jnp.float32)
+    C0 = jnp.zeros((3, p), jnp.float32)
+    D0 = jnp.full((1, p), DEPTH_DEFAULT, jnp.float32)
+    NC0 = jnp.zeros((1, p), jnp.int32)
+    T, C, D, NC = jax.lax.fori_loop(0, nchunks, body, (T0, C0, D0, NC0))
+    color_ref[0] = C
+    depth_ref[0] = D
+    t_ref[0] = T
+    nc_ref[0] = NC
+
+
+def _assemble(x, grid_y, grid_x, tile_y, tile_x, height, width, ch=None):
+    """[NT, C?, P] -> [(C?,) H, W]"""
+    if ch is None:
+        x = x.reshape(grid_y, grid_x, tile_y, tile_x)
+        x = jnp.moveaxis(x, 2, 1).reshape(grid_y * tile_y, grid_x * tile_x)
+        return x[:height, :width]
+    x = x.reshape(grid_y, grid_x, ch, tile_y, tile_x)
+    x = jnp.transpose(x, (2, 0, 3, 1, 4)).reshape(
+        ch, grid_y * tile_y, grid_x * tile_x)
+    return x[:, :height, :width]
+
+
+def forward_tiles_pallas(point_list, tile_start, tile_count,
+                         mean2d, conic, opacity, rgb, depth, bg,
+                         width, height, tile_x, tile_y, chunk):
+    p = tile_x * tile_y
+    assert p % 128 == 0, "pallas path needs tile_x*tile_y % 128 == 0"
+    k = chunk
+    grid_x = (width + tile_x - 1) // tile_x
+    grid_y = (height + tile_y - 1) // tile_y
+    nt = grid_x * grid_y
+    attr = _stage_instances(point_list, mean2d.astype(jnp.float32),
+                            conic.astype(jnp.float32),
+                            opacity.astype(jnp.float32),
+                            rgb.astype(jnp.float32),
+                            depth.astype(jnp.float32))
+
+    kern = functools.partial(_fwd_kernel, k=k, p=p, grid_x=grid_x,
+                             tile_x=tile_x, tile_y=tile_y)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((_ROWS, k), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    color, dep, t_fin, nc = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, 3, p), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, p), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(tile_start, tile_count, attr)
+
+    color_img = _assemble(color, grid_y, grid_x, tile_y, tile_x, height,
+                          width, ch=3)
+    t_img = _assemble(t_fin[:, 0], grid_y, grid_x, tile_y, tile_x, height,
+                      width)
+    color_img = color_img + t_img[None] * bg.astype(jnp.float32)[:, None, None]
+    return ForwardTilesOut(
+        color=color_img,
+        depth=_assemble(dep[:, 0], grid_y, grid_x, tile_y, tile_x, height,
+                        width),
+        final_t=t_img,
+        n_contrib=_assemble(nc[:, 0], grid_y, grid_x, tile_y, tile_x, height,
+                            width))
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(starts_ref, counts_ref, attr_hbm, dpix_ref, cfg_ref,
+                tfin_ref, bg_ref,
+                grads_hbm,
+                attr_vmem, gout_vmem, sem_in, sem_out,
+                *, k, p, grid_x, tile_x, tile_y, width, height):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    nchunks = pl.cdiv(count, k)
+    pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p)
+    rows = _row_iota(k, p)
+    dpix = dpix_ref[0]                    # [3, P]
+    c_fg = cfg_ref[0]                     # [3, P]
+    tfin = tfin_ref[0]                    # [1, P]
+    bg = bg_ref[0]                        # [3, 1] broadcastable? stored [3,P]
+    bg_dot = jnp.sum(bg * dpix, axis=0, keepdims=True)   # [1, P]
+
+    def body(c, carry):
+        T_in, P_in = carry
+        off = pl.multiple_of(start + c * k, k)
+        dma = pltpu.make_async_copy(
+            attr_hbm.at[:, pl.ds(off, k)], attr_vmem, sem_in)
+        dma.start()
+        dma.wait()
+        attr = attr_vmem[:, :]
+        dx, dy, g, alpha, a_eff, ok = _chunk_alpha(attr, pxf, pyf, k, p)
+        tt = _prefix_op(1.0 - a_eff, 1.0, jnp.multiply, k) * T_in
+        tprev = pltpu.roll(tt, shift=1, axis=0)
+        tprev = jnp.where(rows < 1, T_in, tprev)
+        live = tt >= T_EPS
+        contrib = (a_eff > 0.0) & live
+        cmask = contrib.astype(jnp.float32)
+        w = cmask * a_eff * tprev                         # [K, P]
+        one_m = 1.0 - a_eff
+
+        d_alpha = jnp.zeros((k, p), jnp.float32)
+        psum_rows = []
+        for ch in range(3):
+            c_k = attr[6 + ch, :].reshape(k, 1)
+            cw = w * c_k
+            pref = _prefix_op(cw, 0.0, jnp.add, k) + P_in[ch].reshape(1, p)
+            psum_rows.append(pref[k - 1:k, :])
+            S = c_fg[ch].reshape(1, p) - pref
+            d_alpha = d_alpha + (c_k * tprev - S / one_m) * \
+                dpix[ch].reshape(1, p)
+        d_alpha = cmask * (d_alpha - tfin * bg_dot / one_m)
+        # NOTE: like the reference, no gradient gating on the 0.99 clamp
+        op_k = attr[5, :].reshape(k, 1)
+        d_g = op_k * d_alpha
+        gdx = g * dx
+        gdy = g * dy
+        ca, cb, cc = (attr[i, :].reshape(k, 1) for i in (2, 3, 4))
+        d_mx = jnp.sum(d_g * (-gdx * ca - gdy * cb), axis=1) * (0.5 * width)
+        d_my = jnp.sum(d_g * (-gdy * cc - gdx * cb), axis=1) * (0.5 * height)
+        d_ca = jnp.sum(d_g * (-0.5 * gdx * dx), axis=1)
+        d_cb = jnp.sum(d_g * (-gdx * dy), axis=1)
+        d_cc = jnp.sum(d_g * (-0.5 * gdy * dy), axis=1)
+        d_op = jnp.sum(g * d_alpha, axis=1)
+        # d_rgb: [K, P] @ [P, 3] on the MXU
+        d_rgb = jax.lax.dot_general(
+            w, dpix, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [K, 3]
+
+        gout_vmem[0, :] = d_rgb[:, 0]
+        gout_vmem[1, :] = d_rgb[:, 1]
+        gout_vmem[2, :] = d_rgb[:, 2]
+        gout_vmem[3, :] = d_mx
+        gout_vmem[4, :] = d_my
+        gout_vmem[5, :] = d_ca
+        gout_vmem[6, :] = d_cb
+        gout_vmem[7, :] = d_cc
+        gout_vmem[8, :] = d_op
+        dma_out = pltpu.make_async_copy(
+            gout_vmem, grads_hbm.at[:, pl.ds(off, k)], sem_out)
+        dma_out.start()
+        dma_out.wait()
+
+        T_out = jnp.minimum(
+            T_in, jnp.min(jnp.where(live, tt, 2.0), axis=0, keepdims=True))
+        P_out = jnp.concatenate(psum_rows, axis=0)        # [3, P]
+        return T_out, P_out
+
+    T0 = jnp.ones((1, p), jnp.float32)
+    P0 = jnp.zeros((3, p), jnp.float32)
+    jax.lax.fori_loop(0, nchunks, body, (T0, P0))
+
+
+def _tileify(img, grid_y, grid_x, tile_y, tile_x, ch=None):
+    """[(C,) H, W] -> [NT, C?, P], zero padded."""
+    if ch is None:
+        img = img[None]
+        c = 1
+    else:
+        c = ch
+    _, h, w = img.shape
+    hp, wp = grid_y * tile_y, grid_x * tile_x
+    padded = jnp.zeros((c, hp, wp), img.dtype).at[:, :h, :w].set(img)
+    x = padded.reshape(c, grid_y, tile_y, grid_x, tile_x)
+    x = jnp.transpose(x, (1, 3, 0, 2, 4)).reshape(
+        grid_y * grid_x, c, tile_y * tile_x)
+    return x
+
+
+def backward_tiles_pallas(point_list, tile_start, tile_count,
+                          mean2d, conic, opacity, rgb, bg,
+                          out_color, final_t, d_color,
+                          width, height, tile_x, tile_y, chunk):
+    p = tile_x * tile_y
+    k = chunk
+    grid_x = (width + tile_x - 1) // tile_x
+    grid_y = (height + tile_y - 1) // tile_y
+    nt = grid_x * grid_y
+    mi_pad = point_list.shape[0]
+    f32 = jnp.float32
+    attr = _stage_instances(point_list, mean2d.astype(f32),
+                            conic.astype(f32), opacity.astype(f32),
+                            rgb.astype(f32),
+                            jnp.zeros_like(opacity, f32))
+    bgc = bg.astype(f32)[:, None, None]
+    c_fg = out_color.astype(f32) - final_t.astype(f32)[None] * bgc
+    dpix_t = _tileify(d_color.astype(f32), grid_y, grid_x, tile_y, tile_x,
+                      ch=3)
+    cfg_t = _tileify(c_fg, grid_y, grid_x, tile_y, tile_x, ch=3)
+    tfin_t = _tileify(final_t.astype(f32), grid_y, grid_x, tile_y, tile_x)
+    bg_t = jnp.broadcast_to(bgc, (3, height, width))
+    bg_t = _tileify(bg_t, grid_y, grid_x, tile_y, tile_x, ch=3)
+
+    kern = functools.partial(_bwd_kernel, k=k, p=p, grid_x=grid_x,
+                             tile_x=tile_x, tile_y=tile_y, width=width,
+                             height=height)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                 # attr
+            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0)),     # dpix
+            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0)),     # c_fg
+            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),     # final_t
+            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0)),     # bg
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.VMEM((_ROWS, k), jnp.float32),
+                        pltpu.VMEM((_GROWS, k), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+    )
+    grads = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((_GROWS, mi_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
+    )(tile_start, tile_count, attr, dpix_t, cfg_t, tfin_t, bg_t)[0]
+
+    return InstanceGrads(
+        d_rgb=grads[0:3].T,
+        d_mean2d=grads[3:5].T,
+        d_conic=grads[5:8].T,
+        d_opacity=grads[8])

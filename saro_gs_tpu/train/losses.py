@@ -1,0 +1,151 @@
+"""Loss and image-quality metrics, pure JAX.
+
+Matches the reference's loss library (utils/loss_utils.py, helper_train.py:50)
+and metrics (utils/image_utils.py): windowed SSIM (11x11, sigma=1.5),
+MS-SSIM, per-channel PSNR, and the composite training loss with the
+temporal-center-std, residual-norm and plane regularizers.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_loss(x, y):
+    return jnp.abs(x - y).mean()
+
+
+def l2_loss(x, y):
+    return ((x - y) ** 2).mean()
+
+
+def psnr(img, gt):
+    """Per-channel MSE -> PSNR, averaged (utils/image_utils.py:17-21 +
+    ``.mean()`` at call sites)."""
+    c = img.shape[0]
+    mse = ((img - gt) ** 2).reshape(c, -1).mean(axis=1)
+    return (20.0 * jnp.log10(1.0 / jnp.sqrt(mse))).mean()
+
+
+def _gaussian_window(window_size=11, sigma=1.5):
+    g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2)
+               / (2 * sigma ** 2))
+    g = g / g.sum()
+    w2 = np.outer(g, g).astype(np.float32)
+    return jnp.asarray(w2)
+
+
+_WINDOW = _gaussian_window()
+
+
+def _depthwise_conv(img, window):
+    """img [C, H, W], window [k, k] -> same-padded depthwise conv."""
+    c = img.shape[0]
+    k = window.shape[0]
+    kernel = jnp.broadcast_to(window, (c, 1, k, k))
+    return jax.lax.conv_general_dilated(
+        img[None], kernel, (1, 1), [(k // 2, k // 2)] * 2,
+        dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+        feature_group_count=c)[0]
+
+
+def _ssim_stats(img1, img2, window):
+    mu1 = _depthwise_conv(img1, window)
+    mu2 = _depthwise_conv(img2, window)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = _depthwise_conv(img1 * img1, window) - mu1_sq
+    s2 = _depthwise_conv(img2 * img2, window) - mu2_sq
+    s12 = _depthwise_conv(img1 * img2, window) - mu12
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu12 + c1) * (2 * s12 + c2)) / \
+        ((mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+    cs_map = (2 * s12 + c2) / (s1 + s2 + c2)
+    return ssim_map, cs_map
+
+
+def ssim(img1, img2):
+    """Windowed SSIM with the reference's 11x11 sigma-1.5 kernel and SAME
+    padding (utils/loss_utils.py:38-68)."""
+    return _ssim_stats(img1, img2, _WINDOW)[0].mean()
+
+
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def msssim(img1, img2):
+    """Multi-scale SSIM (Wang et al. weights), matching
+    torchmetrics.MultiScaleStructuralSimilarityIndexMeasure(data_range=1)."""
+    levels = len(_MSSSIM_WEIGHTS)
+    vals = []
+    x, y = img1, img2
+    for i in range(levels):
+        ssim_map, cs_map = _ssim_stats(x, y, _WINDOW)
+        if i < levels - 1:
+            vals.append(jnp.maximum(cs_map.mean(), 0.0))
+            x = jax.lax.reduce_window(x, 0.0, jax.lax.add,
+                                      (1, 2, 2), (1, 2, 2), 'VALID') / 4.0
+            y = jax.lax.reduce_window(y, 0.0, jax.lax.add,
+                                      (1, 2, 2), (1, 2, 2), 'VALID') / 4.0
+        else:
+            vals.append(jnp.maximum(ssim_map.mean(), 0.0))
+    out = jnp.prod(jnp.stack(vals) ** jnp.asarray(_MSSSIM_WEIGHTS))
+    return out
+
+
+class LossWeights(NamedTuple):
+    """Mirrors the lambda_* knobs (arguments/__init__.py:160-168)."""
+    lambda_dssim: float = 0.2
+    lambda_dtstd: float = 0.0
+    lambda_dscale_reg: float = 0.0
+    lambda_dshs_reg: float = 0.0
+    lambda_dmotion_reg: float = 0.0
+    lambda_dplanetv: float = 0.0
+    lambda_dtime_smooth: float = 0.0
+
+
+def composite_loss(w: LossWeights, image, gt_image, *,
+                   t_centers=None,
+                   scale_residual=None, shs_residual=None,
+                   motion_residual=None, active_sh_degree: int = 3,
+                   grids=None, plane_tv_fn=None, time_smooth_fn=None):
+    """The training loss (helper_train.py:50-99).  Returns (loss, dict)."""
+    ll1 = l1_loss(image, gt_image)
+    logs = {"Ll1": ll1}
+    if w.lambda_dssim > 0:
+        ldssim = 1.0 - ssim(image, gt_image)
+        loss = (1.0 - w.lambda_dssim) * ll1 + w.lambda_dssim * ldssim
+        logs["Ldssim"] = ldssim
+    else:
+        loss = ll1
+    if w.lambda_dtstd > 0 and t_centers is not None:
+        ltstd = 1.0 - jnp.std(t_centers)
+        loss = loss + w.lambda_dtstd * ltstd
+        logs["Ldtstd"] = ltstd
+    if w.lambda_dscale_reg > 0 and scale_residual is not None:
+        lscale = jnp.linalg.norm(scale_residual.reshape(-1))
+        loss = loss + w.lambda_dscale_reg * lscale
+        logs["Ldscale_reg"] = lscale
+    if w.lambda_dshs_reg > 0 and shs_residual is not None:
+        k = (active_sh_degree + 1) ** 2
+        r = shs_residual[:, :k].reshape(shs_residual.shape[0], -1)
+        lshs = jnp.linalg.norm(r)
+        loss = loss + w.lambda_dshs_reg * lshs
+        logs["Ldshs_reg"] = lshs
+    if w.lambda_dmotion_reg > 0 and motion_residual is not None:
+        lmot = jnp.linalg.norm(motion_residual)
+        loss = loss + w.lambda_dmotion_reg * lmot
+        logs["Ldmotion_reg"] = lmot
+    if w.lambda_dplanetv > 0 and grids is not None:
+        ltv = plane_tv_fn(grids)
+        loss = loss + w.lambda_dplanetv * ltv
+        logs["Ldplanetv"] = ltv
+    if w.lambda_dtime_smooth > 0 and grids is not None:
+        lts = time_smooth_fn(grids)
+        loss = loss + w.lambda_dtime_smooth * lts
+        logs["Ldtime_smooth"] = lts
+    logs["loss"] = loss
+    return loss, logs

@@ -1,0 +1,62 @@
+"""Pallas fast-path vs pure-JAX reference path (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from saro_gs_tpu.ops.rasterize import RasterConfig, rasterize
+from tests.scene_fixtures import make_camera, make_gaussians
+
+CFG_JAX = RasterConfig(tile_x=16, tile_y=16, chunk=128, max_instances=4096,
+                       max_slots=256, backend="jax")
+CFG_PALLAS = CFG_JAX._replace(backend="pallas")
+
+
+def _render(cfg, cam, meta, means, scales, quats, opac, shs, bg):
+    w, h = meta["width"], meta["height"]
+    return rasterize(jnp.asarray(means), jnp.asarray(scales),
+                     jnp.asarray(quats), jnp.asarray(opac), cam,
+                     jnp.asarray(bg), width=w, height=h, sh_degree=3,
+                     config=cfg, shs=jnp.asarray(shs))
+
+
+def test_pallas_forward_matches_jax(rng):
+    cam, meta = make_camera()
+    means, scales, quats, opac, shs = make_gaussians(rng, n=40)
+    bg = np.array([0.1, 0.2, 0.3], np.float32)
+    a = _render(CFG_JAX, cam, meta, means, scales, quats, opac, shs, bg)
+    b = _render(CFG_PALLAS, cam, meta, means, scales, quats, opac, shs, bg)
+    # prefix-product reassociation causes ~1e-6 fp drift vs sequential scan
+    np.testing.assert_allclose(np.asarray(b.color), np.asarray(a.color),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b.final_t), np.asarray(a.final_t),
+                               rtol=1e-4, atol=1e-6)
+    assert (np.asarray(b.n_contrib) == np.asarray(a.n_contrib)).mean() > 0.999
+    assert np.isclose(np.asarray(b.depth), np.asarray(a.depth)).mean() > 0.999
+
+
+def test_pallas_backward_matches_jax(rng):
+    cam, meta = make_camera()
+    means, scales, quats, opac, shs = make_gaussians(rng, n=40)
+    bg = np.array([0.3, 0.1, 0.0], np.float32)
+    w, h = meta["width"], meta["height"]
+    d_color = jnp.asarray(rng.normal(0, 1, (3, h, w)).astype(np.float32))
+
+    def make_loss(cfg):
+        def loss(m, s, q, o, sh_, dummy):
+            out = rasterize(m, s, q, o, cam, jnp.asarray(bg), width=w,
+                            height=h, sh_degree=3, config=cfg, shs=sh_,
+                            mean2d_dummy=dummy)
+            return jnp.sum(out.color * d_color)
+        return loss
+
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(shs),
+            jnp.zeros((means.shape[0], 2), jnp.float32))
+    ga = jax.grad(make_loss(CFG_JAX), argnums=tuple(range(6)))(*args)
+    gb = jax.grad(make_loss(CFG_PALLAS), argnums=tuple(range(6)))(*args)
+    names = ["means", "scales", "quats", "opac", "shs", "mean2d"]
+    for x, y, name in zip(ga, gb, names):
+        x, y = np.asarray(x), np.asarray(y)
+        scale = np.abs(x).max() + 1e-6
+        err = np.abs(x - y).max() / scale
+        assert err < 1e-3, f"{name}: rel err {err}"
