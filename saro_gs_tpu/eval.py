@@ -1,0 +1,179 @@
+"""Evaluation driver: metrics, FPS protocol, render dumps (test.py parity).
+
+Implements the reference measurement contract exactly (test.py:61-181):
+per-view PSNR/SSIM (+MS-SSIM), renders/gt/depth(viridis)/segmentation PNG
+dumps, and the FPS protocol — 4 passes over the test views, first 10 frames
+of each pass discarded as warm-up, device-synchronized per-frame timing
+(test.py:150-163; ``block_until_ready`` replaces cuda.synchronize).
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .data.cameras import Camera
+from .models import gaussians as gm
+from .render import test_render
+from .scene import Scene
+from .train import losses
+
+
+def save_png(path: str, img: np.ndarray):
+    """img [3, H, W] or [H, W] float in [0, 1]."""
+    from PIL import Image
+    if img.ndim == 3:
+        arr = (np.clip(np.transpose(img, (1, 2, 0)), 0, 1)
+               * 255).astype(np.uint8)
+    else:
+        arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def viridis(x: np.ndarray) -> np.ndarray:
+    """Minimal viridis colormap for depth dumps (no matplotlib needed).
+    x in [0,1] -> [3, H, W]."""
+    anchors = np.array([
+        [0.267, 0.005, 0.329], [0.283, 0.141, 0.458], [0.254, 0.265, 0.530],
+        [0.207, 0.372, 0.553], [0.164, 0.471, 0.558], [0.128, 0.567, 0.551],
+        [0.135, 0.659, 0.518], [0.267, 0.749, 0.441], [0.478, 0.821, 0.318],
+        [0.741, 0.873, 0.150], [0.993, 0.906, 0.144]])
+    x = np.clip(x, 0, 1) * (len(anchors) - 1)
+    i0 = np.floor(x).astype(int)
+    i1 = np.clip(i0 + 1, 0, len(anchors) - 1)
+    f = (x - i0)[..., None]
+    rgb = anchors[i0] * (1 - f) + anchors[i1] * f
+    return np.moveaxis(rgb, -1, 0)
+
+
+class Evaluator:
+    def __init__(self, cfg: Config, scene: Scene):
+        self.cfg = cfg
+        self.scene = scene
+        self.mcfg = cfg.model_config()
+        self.rcfg = cfg.raster_config()
+        self.bg = jnp.asarray(
+            [1, 1, 1] if cfg.white_background else [0, 0, 0], jnp.float32)
+
+    def _render_fn(self, width, height, sh_degree, require_segment):
+        mcfg, rcfg, bg = self.mcfg, self.rcfg, self.bg
+        fstatic = self.scene.fstatic
+
+        @jax.jit
+        def fn(cam, ts, points, nets, alive, feat):
+            return test_render(cam, ts, points, nets, alive, mcfg, fstatic,
+                               bg, width=width, height=height,
+                               sh_degree=sh_degree, rcfg=rcfg, feat=feat,
+                               require_segment=require_segment)
+        return fn
+
+    def render_set(self, name: str, cameras: List[Camera],
+                   points: gm.GaussianParams, nets: gm.NetParams,
+                   alive, iteration="best", require_segment=False,
+                   save_every: int = 1, measure_fps: bool = True,
+                   has_gt: bool = True):
+        """test.py:61-181."""
+        cfg = self.cfg
+        out_root = os.path.join(cfg.model_path, name,
+                                f"ours_{iteration}")
+        for sub in ("renders", "gt", "depth") + (
+                ("segment",) if require_segment else ()):
+            os.makedirs(os.path.join(out_root, sub), exist_ok=True)
+
+        cam0 = cameras[0]
+        # cached field features (get_deformfeature, saro_gaussian.py:863)
+        feat = jax.jit(gm.field_feat, static_argnames=("cfg",))(
+            points, nets, self.mcfg, self.scene.fstatic)
+        render = self._render_fn(cam0.width, cam0.height,
+                                 self.mcfg.sh_degree, require_segment)
+
+        psnrs, ssims, msssims = [], [], []
+        for idx, cam in enumerate(cameras):
+            out, seg = render(cam.raster_params(),
+                              jnp.float32(cam.timestamp), points, nets,
+                              alive, feat)
+            img = np.asarray(jnp.clip(out.color, 0, 1))
+            if has_gt and cam.image_path:
+                gt = cam.load_image(cfg.white_background)
+                psnrs.append(float(losses.psnr(jnp.asarray(img),
+                                               jnp.asarray(gt))))
+                ssims.append(float(losses.ssim(jnp.asarray(img),
+                                               jnp.asarray(gt))))
+                msssims.append(float(losses.msssim(jnp.asarray(img),
+                                                   jnp.asarray(gt))))
+                if idx % save_every == 0:
+                    save_png(os.path.join(out_root, "gt",
+                                          f"{idx:05d}.png"), gt)
+            if idx % save_every == 0:
+                save_png(os.path.join(out_root, "renders",
+                                      f"{idx:05d}.png"), img)
+                depth = np.asarray(out.depth)
+                dmin, dmax = depth.min(), depth.max()
+                dn = (depth - dmin) / max(dmax - dmin, 1e-6)
+                save_png(os.path.join(out_root, "depth",
+                                      f"{idx:05d}.png"), viridis(dn))
+                if seg is not None:
+                    save_png(os.path.join(out_root, "segment",
+                                          f"{idx:05d}.png"),
+                             np.asarray(jnp.clip(seg.color, 0, 1)))
+
+        # --- FPS protocol (test.py:150-163) --------------------------------
+        fps = None
+        if measure_fps and len(cameras) > 10:
+            durations = []
+            for _ in range(4):
+                for i, cam in enumerate(cameras):
+                    t0 = time.time()
+                    out, _ = render(cam.raster_params(),
+                                    jnp.float32(cam.timestamp), points, nets,
+                                    alive, feat)
+                    out.color.block_until_ready()
+                    if i >= 10:
+                        durations.append(time.time() - t0)
+            fps = 1.0 / float(np.mean(durations))
+
+        results = {
+            "PSNR": float(np.mean(psnrs)) if psnrs else None,
+            "SSIM": float(np.mean(ssims)) if ssims else None,
+            "MS-SSIM": float(np.mean(msssims)) if msssims else None,
+            "FPS": fps,
+            "num_views": len(cameras),
+        }
+        with open(os.path.join(
+                cfg.model_path, f"{iteration}_runtimeresults.json"),
+                "w") as f:
+            json.dump(results, f, indent=True)
+        with open(os.path.join(
+                cfg.model_path, f"{iteration}_runtimeperview.json"),
+                "w") as f:
+            json.dump({"PSNR": {i: v for i, v in enumerate(psnrs)},
+                       "SSIM": {i: v for i, v in enumerate(ssims)}},
+                      f, indent=True)
+        return results
+
+
+def quick_test_psnr(trainer, cameras: List[Camera], max_views=None) -> float:
+    """Lightweight in-training validation (training_report, train.py:305)."""
+    cfg = trainer.cfg
+    ev = Evaluator(cfg, trainer.scene)
+    cam0 = cameras[0]
+    feat = gm.field_feat(trainer.state.points, trainer.state.nets,
+                         trainer.mcfg, trainer.scene.fstatic)
+    render = ev._render_fn(cam0.width, cam0.height,
+                           trainer.active_sh_degree, False)
+    vals = []
+    for cam in cameras[:max_views]:
+        out, _ = render(cam.raster_params(), jnp.float32(cam.timestamp),
+                        trainer.state.points, trainer.state.nets,
+                        trainer.state.alive, feat)
+        gt = cam.load_image(cfg.white_background)
+        vals.append(float(losses.psnr(jnp.clip(out.color, 0, 1),
+                                      jnp.asarray(gt))))
+    return float(np.mean(vals))

@@ -271,12 +271,13 @@ def create_from_pcd(key, pcd: PointCloud, capacity: int,
     opac = math3d.inverse_sigmoid(0.1 * jnp.ones((n, 1), f32))
     times = jax.random.uniform(key, (n, 1), f32)
 
+    rots_padded = pad(rots).at[n:, 0].set(1.0)   # identity quats in padding
     params = GaussianParams(
         xyz=pad(pts),
         features_dc=pad(dc),
         features_rest=pad(jnp.zeros((n, 15, 3), f32)),
         scaling=pad(scales, fill=-10.0),
-        rotation=pad(rots),
+        rotation=rots_padded,
         opacity=pad(opac, fill=-10.0),
         temporal_pos=pad(times, fill=0.5))
     alive = (jnp.arange(capacity) < n).astype(f32)

@@ -143,9 +143,13 @@ def quat_to_rotmat_raw(q: jnp.ndarray) -> jnp.ndarray:
 
 def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """L2-normalize quaternions (torch.nn.functional.normalize semantics,
-    saro_gaussian.py:47)."""
-    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
-    return q / jnp.maximum(n, eps)
+    saro_gaussian.py:47).
+
+    Uses sqrt(|q|^2 + eps^2) instead of max(|q|, eps): identical values at
+    f32 precision for unit-ish quats, but the VJP stays finite at q = 0
+    (dead capacity-padding rows would otherwise produce NaN gradients)."""
+    n2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    return q / jnp.sqrt(n2 + eps * eps)
 
 
 def build_cov3d(scale: jnp.ndarray, mod, quat: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,83 @@
+"""Renderer glue: camera + model state -> rasterized images (L2 layer).
+
+Mirrors renderer/__init__.py: ``train_render`` (:35-138) dispatches on the
+stage (static uses canonical activations; dynamic runs the deformation) and
+``test_render`` (:140-228) reuses cached field features and pre-filters
+dying Gaussians — here expressed as an ``active`` mask (state > 0.001, the
+reference's visibility pre-filter at saro_gaussian.py:878-881; skipped
+Gaussians contribute alpha < 1/255 anyway so images are identical).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .models import gaussians as gm
+from .models.field import FieldStatic
+from .ops.projection import CameraParams
+from .ops.rasterize import RasterConfig, RenderOutput, rasterize
+
+EVAL_STATE_CUTOFF = 1e-3
+
+
+class RenderPackage(NamedTuple):
+    out: RenderOutput
+    deform: Optional[gm.DeformOut]   # None in static stage
+
+
+def train_render(cam: CameraParams, timestamp,
+                 params: gm.GaussianParams, nets: gm.NetParams,
+                 alive: jnp.ndarray, mcfg: gm.ModelConfig,
+                 fstatic: FieldStatic, bg: jnp.ndarray, *,
+                 width: int, height: int, stage: str, sh_degree: int,
+                 rcfg: RasterConfig,
+                 mean2d_dummy: Optional[jnp.ndarray] = None) -> RenderPackage:
+    if stage == "dynamatic":
+        d = gm.deform(params, nets, mcfg, fstatic, timestamp)
+        out = rasterize(d.xyz, d.scaling, d.rotation, d.opacity.reshape(-1),
+                        cam, bg, width=width, height=height,
+                        sh_degree=sh_degree, config=rcfg, shs=d.shs,
+                        mean2d_dummy=mean2d_dummy, active=alive)
+        return RenderPackage(out=out, deform=d)
+    out = rasterize(params.xyz, gm.get_scaling(params),
+                    gm.get_rotation(params),
+                    gm.get_opacity(params).reshape(-1), cam, bg,
+                    width=width, height=height, sh_degree=sh_degree,
+                    config=rcfg, shs=gm.get_features(params),
+                    mean2d_dummy=mean2d_dummy, active=alive)
+    return RenderPackage(out=out, deform=None)
+
+
+def test_render(cam: CameraParams, timestamp,
+                params: gm.GaussianParams, nets: gm.NetParams,
+                alive: jnp.ndarray, mcfg: gm.ModelConfig,
+                fstatic: FieldStatic, bg: jnp.ndarray, *,
+                width: int, height: int, sh_degree: int,
+                rcfg: RasterConfig,
+                feat: Optional[jnp.ndarray] = None,
+                require_segment: bool = False):
+    """Eval-path render with feature caching + survival filtering.
+
+    ``feat`` is the cached field feature tensor (get_deformfeature,
+    saro_gaussian.py:863-869) — compute once per checkpoint, reuse across
+    frames.  Returns (RenderOutput, segment RenderOutput | None).
+    """
+    d = gm.deform(params, nets, mcfg, fstatic, timestamp, feat=feat)
+    active = alive * (d.state[:, 0] > EVAL_STATE_CUTOFF)
+    out = rasterize(d.xyz, d.scaling, d.rotation, d.opacity.reshape(-1),
+                    cam, bg, width=width, height=height,
+                    sh_degree=sh_degree, config=rcfg, shs=d.shs,
+                    active=active)
+    seg = None
+    if require_segment:
+        # dynamic/static segmentation: render lifespan as color
+        # (renderer/__init__.py:212-226)
+        lifespan_rgb = jax.lax.stop_gradient(
+            jnp.broadcast_to(d.lifespan, (d.lifespan.shape[0], 3)))
+        seg = rasterize(d.xyz, d.scaling, d.rotation,
+                        d.opacity.reshape(-1), cam, bg, width=width,
+                        height=height, sh_degree=sh_degree, config=rcfg,
+                        colors_precomp=lifespan_rgb, active=active)
+    return out, seg

@@ -1,0 +1,403 @@
+"""Training driver (L4): jitted train step + host-side density control.
+
+Re-design of train.py:56-303.  The per-iteration work — a batch of view
+renders, loss, gradients, densify-stat merge, LR schedules and the Adam
+update — is ONE jitted function (`lax.map` over the view batch mirrors the
+reference's sequential gradient accumulation exactly: mean of per-view
+gradients, train.py:190-226).  Host-side control handles what the reference
+also does outside autograd: stage switching, the every-50-iteration integral
+prune/LR refresh, densify/prune/opacity-reset scheduling
+(helper_train.controlgaussians:103-174), SH-degree ramping, eval and
+checkpointing.  Capacity overflow triggers an automatic grow + re-jit.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models import densify as dens
+from ..models import field as field_mod
+from ..models import gaussians as gm
+from ..models import mlp as mlp_mod
+from ..ops.projection import CameraParams
+from ..render import train_render
+from ..scene import Scene
+from . import losses, optim
+
+
+class TrainState(NamedTuple):
+    points: gm.GaussianParams
+    nets: gm.NetParams
+    opt: optim.AdamState           # over {"points":..., "nets":...}
+    alive: jnp.ndarray             # [C]
+    aux: dens.DensifyAux
+    inv_integral: jnp.ndarray      # [C, 1] LR scaling (refreshed / 50 it)
+    inv_integral_densify: jnp.ndarray  # [C, 1]
+    step: jnp.ndarray              # int32
+
+
+def _masked_std(x, mask):
+    """Unbiased std over masked rows (torch .std semantics)."""
+    n = jnp.maximum(mask.sum(), 2.0)
+    mean = (x * mask).sum() / n
+    var = (mask * (x - mean) ** 2).sum() / (n - 1.0)
+    return jnp.sqrt(var)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, scene: Scene):
+        self.cfg = cfg
+        self.scene = scene
+        self.mcfg = cfg.model_config()
+        self.rcfg = cfg.raster_config()
+        self.weights = cfg.loss_weights()
+        cam0 = scene.info.train_cameras[0]
+        self.width, self.height = cam0.width, cam0.height
+        self.bg = jnp.asarray(
+            [1.0, 1.0, 1.0] if cfg.white_background else [0.0, 0.0, 0.0],
+            jnp.float32)
+        self.active_sh_degree = 0
+        self.best_psnr = 0.0
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+        cap = scene.params.xyz.shape[0]
+        opt_state = optim.init_adam({"points": scene.params,
+                                     "nets": scene.nets})
+        self.state = TrainState(
+            points=scene.params, nets=scene.nets, opt=opt_state,
+            alive=scene.alive, aux=dens.init_aux(cap),
+            inv_integral=jnp.ones((cap, 1), jnp.float32),
+            inv_integral_densify=jnp.ones((cap, 1), jnp.float32),
+            step=jnp.zeros((), jnp.int32))
+        self.history = []
+
+    # ------------------------------------------------------------------
+    # jitted pieces
+    # ------------------------------------------------------------------
+
+    def _lr_trees(self, step, inv_integral, scale_integral, stage):
+        """LR pytrees per update_learning_rate (saro_gaussian.py:345-398)."""
+        cfg = self.cfg
+        ext = self.scene.cameras_extent
+        inv = inv_integral[:, 0] if stage == "dynamatic" else 1.0
+        xyz_lr = optim.expon_lr(step, cfg.position_lr_init * ext,
+                                cfg.position_lr_final * ext,
+                                cfg.position_lr_max_steps,
+                                lr_delay_mult=cfg.position_lr_delay_mult)
+        mlp_lr = optim.expon_lr(step, cfg.mlp_lr, cfg.mlp_lr_final,
+                                cfg.position_lr_max_steps)
+        hex_lr = optim.expon_lr(step, cfg.hexplane_lr, cfg.hexplane_lr_final,
+                                cfg.position_lr_max_steps)
+        scal_lr = cfg.scaling_lr * inv if scale_integral else cfg.scaling_lr
+
+        points_lr = gm.GaussianParams(
+            xyz=xyz_lr * inv,
+            features_dc=cfg.feature_lr * inv,
+            features_rest=jnp.asarray(cfg.feature_lr / 20.0),
+            scaling=scal_lr,
+            rotation=cfg.rotation_lr * inv,
+            opacity=cfg.opacity_lr * inv,
+            temporal_pos=cfg.trbfc_lr * inv)
+
+        def bc(tree, v):
+            return jax.tree_util.tree_map(lambda _: v, tree)
+        nets = self.state.nets
+        nets_lr = gm.NetParams(grids=bc(nets.grids, hex_lr),
+                               motion_mlp=bc(nets.motion_mlp, mlp_lr),
+                               rot_mlp=bc(nets.rot_mlp, mlp_lr),
+                               opacity_mlp=bc(nets.opacity_mlp, mlp_lr),
+                               shs_mlp=bc(nets.shs_mlp, mlp_lr))
+        # torch-style decoupled-into-grad weight decay on network groups
+        # (training_setup passes weight_decay=8e-7 there); in the static
+        # stage the reference's net grads are None -> torch skips them
+        # entirely, so no decay applies
+        wd = 8e-7 if stage == "dynamatic" else 0.0
+        nets_wd = jax.tree_util.tree_map(lambda _: wd, nets)
+        points_wd = jax.tree_util.tree_map(lambda _: 0.0, self.state.points)
+        return ({"points": points_lr, "nets": nets_lr},
+                {"points": points_wd, "nets": nets_wd})
+
+    @functools.partial(jax.jit, static_argnames=("self", "stage",
+                                                 "sh_degree",
+                                                 "scale_integral"))
+    def _train_step(self, state: TrainState, cams: CameraParams,
+                    gt: jnp.ndarray, timestamps: jnp.ndarray, *,
+                    stage: str, sh_degree: int, scale_integral: bool):
+        mcfg, rcfg = self.mcfg, self.rcfg
+        fstatic = self.scene.fstatic
+        cap = state.alive.shape[0]
+        batch = gt.shape[0]
+        alive_col = state.alive[:, None]
+
+        def loss_fn(points, nets, m2d):
+            def one_view(i):
+                cam = jax.tree_util.tree_map(lambda x: x[i], cams)
+                pkg = train_render(
+                    cam, timestamps[i], points, nets, state.alive, mcfg,
+                    fstatic, self.bg, width=self.width, height=self.height,
+                    stage=stage, sh_degree=sh_degree, rcfg=rcfg,
+                    mean2d_dummy=m2d[i])
+                d = pkg.deform
+                loss, logs = losses.composite_loss(
+                    self.weights, pkg.out.color, gt[i],
+                    t_centers=None,
+                    scale_residual=(None if d is None or
+                                    d.scale_residual is None
+                                    else d.scale_residual * alive_col),
+                    shs_residual=(None if d is None or d.shs_residual is None
+                                  else d.shs_residual *
+                                  alive_col[..., None]),
+                    motion_residual=(None if d is None or
+                                     d.motion_residual is None
+                                     else d.motion_residual * alive_col),
+                    active_sh_degree=sh_degree,
+                    grids=nets.grids if (
+                        self.weights.lambda_dplanetv > 0 or
+                        self.weights.lambda_dtime_smooth > 0) else None,
+                    plane_tv_fn=field_mod.plane_tv,
+                    time_smooth_fn=field_mod.time_smoothness)
+                if self.weights.lambda_dtstd > 0 and stage == "dynamatic":
+                    ltstd = 1.0 - _masked_std(
+                        gm.get_temporal_pos(points, mcfg)[:, 0], state.alive)
+                    loss = loss + self.weights.lambda_dtstd * ltstd
+                return loss, (pkg.out.radii, logs["Ll1"],
+                              pkg.out.num_dropped, pkg.out.color)
+
+            losses_all, aux_all = jax.lax.map(
+                one_view, jnp.arange(batch))
+            radii, ll1s, dropped, colors = aux_all
+            return losses_all.mean(), (radii, ll1s.mean(), dropped.max(),
+                                       colors[-1])
+
+        m2d0 = jnp.zeros((batch, cap, 2), jnp.float32)
+        (loss, (radii, ll1, dropped, last_img)), grads = \
+            jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                state.points, state.nets, m2d0)
+        g_points, g_nets, g_m2d = grads
+
+        # densify stats (train.py:278-292): per-view screen-grad norms
+        # summed over views, divided by visibility count
+        norms = jnp.linalg.norm(g_m2d, axis=-1)           # [B, C]
+        vis = radii > 0                                   # [B, C]
+        vis_count = vis.sum(axis=0)
+        summed = norms.sum(axis=0)
+        batch_grad = jnp.where(vis_count > 0, summed / vis_count, 0.0)
+        max_radii = radii.max(axis=0)
+        aux = dens.add_stats(state.aux, batch_grad, vis_count > 0,
+                             max_radii)
+
+        lr_tree, wd_tree = self._lr_trees(state.step, state.inv_integral,
+                                          scale_integral, stage)
+        if stage != "dynamatic":
+            # static stage: freeze the temporal nets (the reference's static
+            # loss has no path through them; their grads are exactly zero
+            # there, but our graph still touches the field via lifespans)
+            g_nets = jax.tree_util.tree_map(jnp.zeros_like, g_nets)
+            g_points = g_points._replace(
+                temporal_pos=jnp.zeros_like(g_points.temporal_pos))
+        new_params, new_opt = optim.adam_step(
+            state.opt, {"points": state.points, "nets": state.nets},
+            {"points": g_points, "nets": g_nets}, lr_tree, wd_tree)
+        new_state = state._replace(
+            points=new_params["points"], nets=new_params["nets"],
+            opt=new_opt, aux=aux, step=state.step + 1)
+        metrics = {"loss": loss, "Ll1": ll1, "dropped": dropped,
+                   "psnr": losses.psnr(jnp.clip(last_img, 0, 1),
+                                       gt[-1])}
+        return new_state, metrics
+
+    @functools.partial(jax.jit, static_argnames=("self", "use_integral"))
+    def _integral_refresh(self, state: TrainState, *, use_integral: bool):
+        integral = gm.temporal_integral(state.points, state.nets, self.mcfg,
+                                        self.scene.fstatic)
+        alive, inv = dens.integral_prune_and_lr(state.alive, integral,
+                                                self.mcfg.min_intergral)
+        inv_lr = inv if use_integral else jnp.ones_like(inv)
+        return state._replace(alive=alive, inv_integral=inv_lr,
+                              inv_integral_densify=inv)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("self", "with_size_threshold"))
+    def _densify(self, state: TrainState, key, *,
+                 with_size_threshold: bool):
+        integral = gm.temporal_integral(state.points, state.nets, self.mcfg,
+                                        self.scene.fstatic)
+        res = dens.densify_pruneclone(
+            state.points, state.opt.mu["points"], state.opt.nu["points"],
+            state.alive, state.aux, key,
+            grad_threshold=self.cfg.densify_grad_threshold,
+            min_opacity=self.cfg.opthr,
+            extent=self.scene.cameras_extent,
+            percent_dense=self.cfg.percent_dense,
+            max_screen_size=20 if with_size_threshold else None,
+            inv_integral=state.inv_integral_densify,
+            integral=integral,
+            min_intergral=self.mcfg.min_intergral,
+            prune_z=self.cfg.loader == "colmap",
+            prune_big_ws=self.cfg.pw)
+        opt = state.opt._replace(
+            mu={"points": res.mu, "nets": state.opt.mu["nets"]},
+            nu={"points": res.nu, "nets": state.opt.nu["nets"]})
+        return state._replace(points=res.params, opt=opt, alive=res.alive,
+                              aux=res.aux), res
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _reset_opacity(self, state: TrainState):
+        params, mu, nu = dens.reset_opacity(
+            state.points, state.opt.mu["points"], state.opt.nu["points"])
+        opt = state.opt._replace(
+            mu={"points": mu, "nets": state.opt.mu["nets"]},
+            nu={"points": nu, "nets": state.opt.nu["nets"]})
+        return state._replace(points=params, opt=opt)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _zprune_real_xyz(self, state: TrainState):
+        """Post-densify floater prune on base-time deformed positions
+        (helper_train.py:138-142)."""
+        feat = gm.field_feat(state.points, state.nets, self.mcfg,
+                             self.scene.fstatic)
+        zero_emb = gm.time_embed(
+            self.mcfg, jnp.zeros_like(state.points.temporal_pos))
+        base_df = jnp.concatenate([feat, zero_emb], axis=-1)
+        real_xyz = state.points.xyz + mlp_mod.apply_mlp(
+            state.nets.motion_mlp, base_df)
+        alive = dens.prune_mask_only(state.alive, real_xyz[:, 2] < 4.5)
+        return state._replace(alive=alive)
+
+    # ------------------------------------------------------------------
+    # host control loop
+    # ------------------------------------------------------------------
+
+    def n_alive(self) -> int:
+        return int(np.asarray(self.state.alive).sum())
+
+    def grow_capacity(self, factor: int = 2):
+        """Pad every per-Gaussian array; jits re-trace on the new shape."""
+        old = self.state.alive.shape[0]
+        new = old * factor
+        extra = new - old
+
+        def pad(x):
+            if x.ndim >= 1 and x.shape[0] == old:
+                return jnp.pad(x, [(0, extra)] + [(0, 0)] * (x.ndim - 1))
+            return x
+
+        def pad_points(t):
+            return jax.tree_util.tree_map(pad, t)
+
+        s = self.state
+        self.state = TrainState(
+            points=pad_points(s.points),
+            nets=s.nets,
+            opt=optim.AdamState(
+                mu={"points": pad_points(s.opt.mu["points"]),
+                    "nets": s.opt.mu["nets"]},
+                nu={"points": pad_points(s.opt.nu["points"]),
+                    "nets": s.opt.nu["nets"]},
+                count=s.opt.count),
+            alive=pad(s.alive), aux=pad_points(s.aux),
+            inv_integral=jnp.pad(s.inv_integral, [(0, extra), (0, 0)],
+                                 constant_values=1.0),
+            inv_integral_densify=jnp.pad(s.inv_integral_densify,
+                                         [(0, extra), (0, 0)],
+                                         constant_values=1.0),
+            step=s.step)
+        print(f"[capacity] grown {old} -> {new}")
+
+    def stage_at(self, iteration: int) -> str:
+        return ("dynamatic" if iteration > self.cfg.static_iteration
+                else "static")
+
+    def integral_flags(self, iteration: int):
+        cfg = self.cfg
+        if cfg.all_no_intergral:
+            return False, False
+        use = True if cfg.use_intergral_afterdensify else \
+            iteration <= cfg.densify_until_iter
+        scale = iteration <= cfg.densify_until_iter
+        return use, scale
+
+    def run(self, max_iterations: Optional[int] = None,
+            log_every: int = 50, eval_fn=None):
+        cfg = self.cfg
+        total = max_iterations or cfg.iterations
+        loader = self.scene.train_loader(cfg.batch,
+                                         num_workers=cfg.data_workers,
+                                         seed=cfg.seed)
+        it = int(self.state.step)
+        t_start = time.time()
+        for batch in loader:
+            it += 1
+            if it > total:
+                break
+            stage = self.stage_at(it)
+            use_int, scale_int = self.integral_flags(it)
+            if stage == "dynamatic" and it % 50 == 0:
+                self.state = self._integral_refresh(self.state,
+                                                    use_integral=use_int)
+            self.state, metrics = self._train_step(
+                self.state, jax.tree_util.tree_map(jnp.asarray, batch.cams),
+                jnp.asarray(batch.gt), jnp.asarray(batch.timestamps),
+                stage=stage, sh_degree=self.active_sh_degree,
+                scale_integral=scale_int)
+
+            if cfg.use_shs and it % 1000 == 0:
+                self.active_sh_degree = min(self.active_sh_degree + 1,
+                                            cfg.sh_degree)
+
+            self._density_control(it, stage)
+
+            if int(metrics["dropped"]) > 0:
+                print(f"[warn] it {it}: {int(metrics['dropped'])} instances "
+                      f"dropped (raise max_instances)")
+            if it % log_every == 0:
+                rec = {"it": it, "stage": stage,
+                       "loss": float(metrics["loss"]),
+                       "Ll1": float(metrics["Ll1"]),
+                       "psnr": float(metrics["psnr"]),
+                       "points": self.n_alive(),
+                       "elapsed_s": time.time() - t_start}
+                self.history.append(rec)
+                print(f"[{it}/{total}] loss={rec['loss']:.5f} "
+                      f"psnr={rec['psnr']:.2f} pts={rec['points']} "
+                      f"({rec['elapsed_s']:.0f}s)")
+            if eval_fn is not None and it in set(cfg.testing_iterations):
+                eval_fn(self, it)
+            if it in set(cfg.save_iterations):
+                self.scene.save(it, self.state.points, self.state.nets,
+                                self.state.alive)
+        return self.state
+
+    def _density_control(self, it: int, stage: str):
+        """helper_train.controlgaussians:103-174 (modes 2=N3D, 5=D-NeRF)."""
+        cfg = self.cfg
+        if cfg.densify not in (1, 2, 4, 5):
+            return
+        if it < cfg.densify_until_iter:
+            if it > cfg.densify_from_iter and \
+                    it % cfg.densification_interval == 0:
+                self.scene.record_points(it, "before densify", self.n_alive())
+                self.key, k = jax.random.split(self.key)
+                st, res = self._densify(
+                    self.state, k,
+                    with_size_threshold=it > cfg.opacity_reset_interval)
+                if bool(res.overflowed):
+                    self.grow_capacity()
+                    self.key, k = jax.random.split(self.key)
+                    st, res = self._densify(
+                        self.state, k,
+                        with_size_threshold=it > cfg.opacity_reset_interval)
+                self.state = st
+                self.scene.record_points(it, "after densify", self.n_alive())
+            if it % cfg.opacity_reset_interval == 0:
+                self.state = self._reset_opacity(self.state)
+        elif cfg.densify == 2 and it % 500 == 1 and stage == "dynamatic":
+            self.state = self._zprune_real_xyz(self.state)
