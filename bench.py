@@ -1,0 +1,87 @@
+"""Benchmark: rendering FPS at the Neural3D evaluation resolution.
+
+Prints ONE JSON line:
+  {"metric": "render_fps_1352x1014", "value": N, "unit": "frames/s",
+   "vs_baseline": null}
+
+Protocol mirrors the reference's FPS measurement (test.py:150-163): jitted
+eval-style renders, device-synchronized per-frame wall clock, warm-up frames
+discarded.  Runs the Pallas fast path on the available accelerator with a
+synthetic flame_steak-scale model (200k Gaussians, scale-aware field +
+deformation + rasterization).  The reference repo publishes no numbers
+(BASELINE.json "published": {}), so vs_baseline is null.
+"""
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _camera, _synthetic_state
+    from saro_gs_tpu.ops.rasterize import RasterConfig
+    from saro_gs_tpu.render import test_render
+    from saro_gs_tpu.models import gaussians as gm
+
+    width, height = 1352, 1014
+    n = 200_000
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        # CPU smoke: shrink so the run finishes
+        width, height, n = 338, 254, 5_000
+
+    cfg, params, nets, alive, fstatic = _synthetic_state(
+        n=n, capacity=n, seed=3)
+    # flame_steak-like splat statistics: small anisotropic splats
+    rng = np.random.RandomState(0)
+    params = params._replace(
+        scaling=jnp.asarray(np.log(rng.uniform(0.003, 0.02, (n, 3))),
+                            jnp.float32))
+    cam = _camera(width, height)
+    rcfg = RasterConfig(tile_x=32, tile_y=32, chunk=128,
+                        max_instances=1 << 21,
+                        backend="pallas" if on_tpu else "jax",
+                        max_slots=512)
+    bg = jnp.zeros(3)
+    feat = gm.field_feat(params, nets, cfg, fstatic)
+
+    @jax.jit
+    def render(ts, feat):
+        out, _ = test_render(cam, ts, params, nets, alive, cfg, fstatic, bg,
+                             width=width, height=height, sh_degree=3,
+                             rcfg=rcfg, feat=feat)
+        return out.color
+
+    # timestamps cycle like a test-camera sweep
+    n_frames = 50 if on_tpu else 8
+    warmup = 10 if on_tpu else 2
+    ts_list = [jnp.float32(0.5 + 0.3 * math.sin(i / 7)) for i in
+               range(n_frames)]
+    render(ts_list[0], feat).block_until_ready()
+
+    durations = []
+    passes = 4 if on_tpu else 1
+    for _ in range(passes):
+        for i, ts in enumerate(ts_list):
+            t0 = time.time()
+            render(ts, feat).block_until_ready()
+            if i >= warmup:
+                durations.append(time.time() - t0)
+    fps = 1.0 / float(np.mean(durations))
+    print(json.dumps({
+        "metric": f"render_fps_{width}x{height}",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": None,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
+    os._exit(0)  # skip the axon plugin's slow exit teardown

@@ -1,0 +1,183 @@
+"""Pure train-step functions (shared by the single-chip and SPMD paths).
+
+The batch loss/grad/update logic lives here as pure functions of explicit
+state so the same code runs directly (one device) or inside
+``shard_map`` over a device mesh (parallel/shard.py): with ``axis_name``
+set, per-view gradients and densify statistics are psum-reduced across the
+``data`` axis — the reference's sequential batch gradient accumulation
+(train.py:190-226) executed concurrently on devices.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models import densify as dens
+from ..models import field as field_mod
+from ..models import gaussians as gm
+from ..render import train_render
+from . import losses, optim
+
+
+class StepStatics(NamedTuple):
+    """Hashable bundle of everything static for the jitted step."""
+    mcfg: object           # gm.ModelConfig
+    rcfg: object           # RasterConfig
+    weights: object        # LossWeights
+    width: int
+    height: int
+    cfg_lrs: tuple         # see make_lr_statics
+    extent: float
+
+
+def make_lr_statics(cfg) -> tuple:
+    return (cfg.position_lr_init, cfg.position_lr_final,
+            cfg.position_lr_delay_mult, cfg.position_lr_max_steps,
+            cfg.feature_lr, cfg.opacity_lr, cfg.scaling_lr,
+            cfg.rotation_lr, cfg.trbfc_lr, cfg.mlp_lr, cfg.mlp_lr_final,
+            cfg.hexplane_lr, cfg.hexplane_lr_final)
+
+
+def _masked_std(x, mask):
+    n = jnp.maximum(mask.sum(), 2.0)
+    mean = (x * mask).sum() / n
+    var = (mask * (x - mean) ** 2).sum() / (n - 1.0)
+    return jnp.sqrt(var)
+
+
+def batch_loss_fn(points, nets, m2d, *, cams, gt, timestamps, alive, bg,
+                  fstatic, st: StepStatics, stage: str, sh_degree: int):
+    """Mean loss over the (local) view batch; aux = (radii, ll1, dropped,
+    last image)."""
+    mcfg, rcfg, weights = st.mcfg, st.rcfg, st.weights
+    alive_col = alive[:, None]
+    batch = gt.shape[0]
+
+    def one_view(i):
+        cam = jax.tree_util.tree_map(lambda x: x[i], cams)
+        pkg = train_render(
+            cam, timestamps[i], points, nets, alive, mcfg, fstatic, bg,
+            width=st.width, height=st.height, stage=stage,
+            sh_degree=sh_degree, rcfg=rcfg, mean2d_dummy=m2d[i])
+        d = pkg.deform
+        loss, logs = losses.composite_loss(
+            weights, pkg.out.color, gt[i],
+            t_centers=None,
+            scale_residual=(None if d is None or d.scale_residual is None
+                            else d.scale_residual * alive_col),
+            shs_residual=(None if d is None or d.shs_residual is None
+                          else d.shs_residual * alive_col[..., None]),
+            motion_residual=(None if d is None or d.motion_residual is None
+                            else d.motion_residual * alive_col),
+            active_sh_degree=sh_degree,
+            grids=nets.grids if (weights.lambda_dplanetv > 0 or
+                                 weights.lambda_dtime_smooth > 0) else None,
+            plane_tv_fn=field_mod.plane_tv,
+            time_smooth_fn=field_mod.time_smoothness)
+        if weights.lambda_dtstd > 0 and stage == "dynamatic":
+            ltstd = 1.0 - _masked_std(
+                gm.get_temporal_pos(points, mcfg)[:, 0], alive)
+            loss = loss + weights.lambda_dtstd * ltstd
+        return loss, (pkg.out.radii, logs["Ll1"], pkg.out.num_dropped,
+                      pkg.out.color)
+
+    losses_all, (radii, ll1s, dropped, colors) = jax.lax.map(
+        one_view, jnp.arange(batch))
+    return losses_all.mean(), (radii, ll1s.mean(), dropped.max(), colors[-1])
+
+
+def lr_trees(step, inv_integral, points_tpl, nets_tpl, st: StepStatics,
+             *, stage: str, scale_integral: bool):
+    """LR pytrees per update_learning_rate (saro_gaussian.py:345-398)."""
+    (pli, plf, pldm, plms, feat_lr, op_lr, sc_lr, rot_lr, tc_lr,
+     mlp_i, mlp_f, hex_i, hex_f) = st.cfg_lrs
+    ext = st.extent
+    inv = inv_integral[:, 0] if stage == "dynamatic" else 1.0
+    xyz_lr = optim.expon_lr(step, pli * ext, plf * ext, plms,
+                            lr_delay_mult=pldm)
+    mlp_lr = optim.expon_lr(step, mlp_i, mlp_f, plms)
+    hex_lr = optim.expon_lr(step, hex_i, hex_f, plms)
+    scal_lr = sc_lr * inv if scale_integral else sc_lr
+
+    points_lr = gm.GaussianParams(
+        xyz=xyz_lr * inv, features_dc=feat_lr * inv,
+        features_rest=jnp.asarray(feat_lr / 20.0), scaling=scal_lr,
+        rotation=rot_lr * inv, opacity=op_lr * inv,
+        temporal_pos=tc_lr * inv)
+
+    def bc(tree, v):
+        return jax.tree_util.tree_map(lambda _: v, tree)
+    nets_lr = gm.NetParams(grids=bc(nets_tpl.grids, hex_lr),
+                           motion_mlp=bc(nets_tpl.motion_mlp, mlp_lr),
+                           rot_mlp=bc(nets_tpl.rot_mlp, mlp_lr),
+                           opacity_mlp=bc(nets_tpl.opacity_mlp, mlp_lr),
+                           shs_mlp=bc(nets_tpl.shs_mlp, mlp_lr))
+    wd = 8e-7 if stage == "dynamatic" else 0.0
+    nets_wd = jax.tree_util.tree_map(lambda _: wd, nets_tpl)
+    points_wd = jax.tree_util.tree_map(lambda _: 0.0, points_tpl)
+    return ({"points": points_lr, "nets": nets_lr},
+            {"points": points_wd, "nets": nets_wd})
+
+
+def train_step_core(state, cams, gt, timestamps, bg, fstatic,
+                    st: StepStatics, *, stage: str, sh_degree: int,
+                    scale_integral: bool,
+                    axis_name: Optional[str] = None):
+    """One full optimization step; under ``shard_map`` pass ``axis_name``
+    to average gradients / merge stats across the data axis."""
+    cap = state.alive.shape[0]
+    batch = gt.shape[0]
+    m2d0 = jnp.zeros((batch, cap, 2), jnp.float32)
+
+    def loss_fn(points, nets, m2d):
+        return batch_loss_fn(points, nets, m2d, cams=cams, gt=gt,
+                             timestamps=timestamps, alive=state.alive,
+                             bg=bg, fstatic=fstatic, st=st, stage=stage,
+                             sh_degree=sh_degree)
+
+    (loss, (radii, ll1, dropped, last_img)), grads = \
+        jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+            state.points, state.nets, m2d0)
+    g_points, g_nets, g_m2d = grads
+
+    # densify stats (train.py:278-292).  The reference accumulates the
+    # screen-grad norm of each view's OWN loss; our batch loss is the mean
+    # over views, so undo the 1/B scaling on the per-view dummy grads.
+    norms = jnp.linalg.norm(g_m2d, axis=-1) * batch
+    vis = radii > 0
+    vis_count = vis.sum(axis=0)
+    summed = norms.sum(axis=0)
+    max_radii = radii.max(axis=0)
+
+    if axis_name is not None:
+        g_points = jax.lax.pmean(g_points, axis_name)
+        g_nets = jax.lax.pmean(g_nets, axis_name)
+        vis_count = jax.lax.psum(vis_count, axis_name)
+        summed = jax.lax.psum(summed, axis_name)
+        max_radii = jax.lax.pmax(max_radii, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
+        ll1 = jax.lax.pmean(ll1, axis_name)
+        dropped = jax.lax.pmax(dropped, axis_name)
+
+    batch_grad = jnp.where(vis_count > 0, summed / vis_count, 0.0)
+    aux = dens.add_stats(state.aux, batch_grad, vis_count > 0, max_radii)
+
+    if stage != "dynamatic":
+        g_nets = jax.tree_util.tree_map(jnp.zeros_like, g_nets)
+        g_points = g_points._replace(
+            temporal_pos=jnp.zeros_like(g_points.temporal_pos))
+
+    lr_tree, wd_tree = lr_trees(state.step, state.inv_integral,
+                                state.points, state.nets, st, stage=stage,
+                                scale_integral=scale_integral)
+    new_params, new_opt = optim.adam_step(
+        state.opt, {"points": state.points, "nets": state.nets},
+        {"points": g_points, "nets": g_nets}, lr_tree, wd_tree)
+    new_state = state._replace(
+        points=new_params["points"], nets=new_params["nets"], opt=new_opt,
+        aux=aux, step=state.step + 1)
+    metrics = {"loss": loss, "Ll1": ll1, "dropped": dropped,
+               "psnr": losses.psnr(jnp.clip(last_img, 0, 1), gt[-1])}
+    return new_state, metrics

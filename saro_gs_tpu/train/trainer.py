@@ -30,7 +30,7 @@ from ..models import mlp as mlp_mod
 from ..ops.projection import CameraParams
 from ..render import train_render
 from ..scene import Scene
-from . import losses, optim
+from . import losses, optim, step
 
 
 class TrainState(NamedTuple):
@@ -83,47 +83,12 @@ class Trainer:
     # jitted pieces
     # ------------------------------------------------------------------
 
-    def _lr_trees(self, step, inv_integral, scale_integral, stage):
-        """LR pytrees per update_learning_rate (saro_gaussian.py:345-398)."""
-        cfg = self.cfg
-        ext = self.scene.cameras_extent
-        inv = inv_integral[:, 0] if stage == "dynamatic" else 1.0
-        xyz_lr = optim.expon_lr(step, cfg.position_lr_init * ext,
-                                cfg.position_lr_final * ext,
-                                cfg.position_lr_max_steps,
-                                lr_delay_mult=cfg.position_lr_delay_mult)
-        mlp_lr = optim.expon_lr(step, cfg.mlp_lr, cfg.mlp_lr_final,
-                                cfg.position_lr_max_steps)
-        hex_lr = optim.expon_lr(step, cfg.hexplane_lr, cfg.hexplane_lr_final,
-                                cfg.position_lr_max_steps)
-        scal_lr = cfg.scaling_lr * inv if scale_integral else cfg.scaling_lr
-
-        points_lr = gm.GaussianParams(
-            xyz=xyz_lr * inv,
-            features_dc=cfg.feature_lr * inv,
-            features_rest=jnp.asarray(cfg.feature_lr / 20.0),
-            scaling=scal_lr,
-            rotation=cfg.rotation_lr * inv,
-            opacity=cfg.opacity_lr * inv,
-            temporal_pos=cfg.trbfc_lr * inv)
-
-        def bc(tree, v):
-            return jax.tree_util.tree_map(lambda _: v, tree)
-        nets = self.state.nets
-        nets_lr = gm.NetParams(grids=bc(nets.grids, hex_lr),
-                               motion_mlp=bc(nets.motion_mlp, mlp_lr),
-                               rot_mlp=bc(nets.rot_mlp, mlp_lr),
-                               opacity_mlp=bc(nets.opacity_mlp, mlp_lr),
-                               shs_mlp=bc(nets.shs_mlp, mlp_lr))
-        # torch-style decoupled-into-grad weight decay on network groups
-        # (training_setup passes weight_decay=8e-7 there); in the static
-        # stage the reference's net grads are None -> torch skips them
-        # entirely, so no decay applies
-        wd = 8e-7 if stage == "dynamatic" else 0.0
-        nets_wd = jax.tree_util.tree_map(lambda _: wd, nets)
-        points_wd = jax.tree_util.tree_map(lambda _: 0.0, self.state.points)
-        return ({"points": points_lr, "nets": nets_lr},
-                {"points": points_wd, "nets": nets_wd})
+    def _statics(self) -> step.StepStatics:
+        return step.StepStatics(
+            mcfg=self.mcfg, rcfg=self.rcfg, weights=self.weights,
+            width=self.width, height=self.height,
+            cfg_lrs=step.make_lr_statics(self.cfg),
+            extent=self.scene.cameras_extent)
 
     @functools.partial(jax.jit, static_argnames=("self", "stage",
                                                  "sh_degree",
@@ -131,88 +96,16 @@ class Trainer:
     def _train_step(self, state: TrainState, cams: CameraParams,
                     gt: jnp.ndarray, timestamps: jnp.ndarray, *,
                     stage: str, sh_degree: int, scale_integral: bool):
-        mcfg, rcfg = self.mcfg, self.rcfg
-        fstatic = self.scene.fstatic
-        cap = state.alive.shape[0]
-        batch = gt.shape[0]
-        alive_col = state.alive[:, None]
-
-        def loss_fn(points, nets, m2d):
-            def one_view(i):
-                cam = jax.tree_util.tree_map(lambda x: x[i], cams)
-                pkg = train_render(
-                    cam, timestamps[i], points, nets, state.alive, mcfg,
-                    fstatic, self.bg, width=self.width, height=self.height,
-                    stage=stage, sh_degree=sh_degree, rcfg=rcfg,
-                    mean2d_dummy=m2d[i])
-                d = pkg.deform
-                loss, logs = losses.composite_loss(
-                    self.weights, pkg.out.color, gt[i],
-                    t_centers=None,
-                    scale_residual=(None if d is None or
-                                    d.scale_residual is None
-                                    else d.scale_residual * alive_col),
-                    shs_residual=(None if d is None or d.shs_residual is None
-                                  else d.shs_residual *
-                                  alive_col[..., None]),
-                    motion_residual=(None if d is None or
-                                     d.motion_residual is None
-                                     else d.motion_residual * alive_col),
-                    active_sh_degree=sh_degree,
-                    grids=nets.grids if (
-                        self.weights.lambda_dplanetv > 0 or
-                        self.weights.lambda_dtime_smooth > 0) else None,
-                    plane_tv_fn=field_mod.plane_tv,
-                    time_smooth_fn=field_mod.time_smoothness)
-                if self.weights.lambda_dtstd > 0 and stage == "dynamatic":
-                    ltstd = 1.0 - _masked_std(
-                        gm.get_temporal_pos(points, mcfg)[:, 0], state.alive)
-                    loss = loss + self.weights.lambda_dtstd * ltstd
-                return loss, (pkg.out.radii, logs["Ll1"],
-                              pkg.out.num_dropped, pkg.out.color)
-
-            losses_all, aux_all = jax.lax.map(
-                one_view, jnp.arange(batch))
-            radii, ll1s, dropped, colors = aux_all
-            return losses_all.mean(), (radii, ll1s.mean(), dropped.max(),
-                                       colors[-1])
-
-        m2d0 = jnp.zeros((batch, cap, 2), jnp.float32)
-        (loss, (radii, ll1, dropped, last_img)), grads = \
-            jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
-                state.points, state.nets, m2d0)
-        g_points, g_nets, g_m2d = grads
-
-        # densify stats (train.py:278-292): per-view screen-grad norms
-        # summed over views, divided by visibility count
-        norms = jnp.linalg.norm(g_m2d, axis=-1)           # [B, C]
-        vis = radii > 0                                   # [B, C]
-        vis_count = vis.sum(axis=0)
-        summed = norms.sum(axis=0)
-        batch_grad = jnp.where(vis_count > 0, summed / vis_count, 0.0)
-        max_radii = radii.max(axis=0)
-        aux = dens.add_stats(state.aux, batch_grad, vis_count > 0,
-                             max_radii)
-
-        lr_tree, wd_tree = self._lr_trees(state.step, state.inv_integral,
-                                          scale_integral, stage)
-        if stage != "dynamatic":
-            # static stage: freeze the temporal nets (the reference's static
-            # loss has no path through them; their grads are exactly zero
-            # there, but our graph still touches the field via lifespans)
-            g_nets = jax.tree_util.tree_map(jnp.zeros_like, g_nets)
-            g_points = g_points._replace(
-                temporal_pos=jnp.zeros_like(g_points.temporal_pos))
-        new_params, new_opt = optim.adam_step(
-            state.opt, {"points": state.points, "nets": state.nets},
-            {"points": g_points, "nets": g_nets}, lr_tree, wd_tree)
-        new_state = state._replace(
-            points=new_params["points"], nets=new_params["nets"],
-            opt=new_opt, aux=aux, step=state.step + 1)
-        metrics = {"loss": loss, "Ll1": ll1, "dropped": dropped,
-                   "psnr": losses.psnr(jnp.clip(last_img, 0, 1),
-                                       gt[-1])}
-        return new_state, metrics
+        if self.cfg.mesh_data > 1:
+            from ..parallel import shard
+            return shard.dp_train_step(
+                state, cams, gt, timestamps, self.bg, self.scene.fstatic,
+                self._statics(), stage=stage, sh_degree=sh_degree,
+                scale_integral=scale_integral, n_data=self.cfg.mesh_data)
+        return step.train_step_core(
+            state, cams, gt, timestamps, self.bg, self.scene.fstatic,
+            self._statics(), stage=stage, sh_degree=sh_degree,
+            scale_integral=scale_integral)
 
     @functools.partial(jax.jit, static_argnames=("self", "use_integral"))
     def _integral_refresh(self, state: TrainState, *, use_integral: bool):

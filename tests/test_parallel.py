@@ -1,0 +1,97 @@
+"""Multi-device (virtual 8-CPU mesh) tests: sharded == single-device."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from saro_gs_tpu.ops.rasterize import RasterConfig, rasterize
+from saro_gs_tpu.parallel import shard
+from tests.scene_fixtures import make_camera, make_gaussians
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_tile_sharded_render_matches_single(rng):
+    cam, meta = make_camera(width=64, height=64)
+    means, scales, quats, opac, shs = make_gaussians(rng, n=50)
+    colors = np.abs(shs[:, 0])
+    w, h = meta["width"], meta["height"]
+    cfg = RasterConfig(tile_x=16, tile_y=16, chunk=8, max_instances=8192,
+                       max_slots=256)
+    ref = rasterize(jnp.asarray(means), jnp.asarray(scales),
+                    jnp.asarray(quats), jnp.asarray(opac), cam,
+                    jnp.zeros(3), width=w, height=h, sh_degree=0,
+                    config=cfg, colors_precomp=jnp.asarray(colors))
+    for n_tile in (2, 4):
+        img = shard.tile_sharded_render(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(colors), cam, jnp.zeros(3),
+            width=w, height=h, tile_x=16, tile_y=16, chunk=8,
+            max_instances=8192, max_slots=256, n_tile=n_tile)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref.color),
+                                   atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_dp_train_step_matches_single(rng, tmp_path):
+    """4-view batch on 4 devices == same batch on one device."""
+    import os
+    from tests.test_e2e_train import _write_scene, DURATION
+    from saro_gs_tpu.config import load_config
+    from saro_gs_tpu import scene as scene_mod
+    from saro_gs_tpu.data import readers
+    from saro_gs_tpu.train.trainer import Trainer
+    from saro_gs_tpu.models.gaussians import PointCloud
+
+    root = str(tmp_path / "scene")
+    _write_scene(root, np.random.RandomState(7))
+
+    def cfg_for(mesh_data):
+        return load_config(
+            source_path=root, model_path=str(tmp_path / f"m{mesh_data}"),
+            loader="blender", duration=DURATION, resolution=1,
+            batch=4, iterations=10, static_iteration=-1, densify=0,
+            preprocesspoints=0, capacity=512, raster_backend="jax",
+            max_instances=8192, max_slots=256,
+            kplanes_config={"grid_dimensions": 2, "input_coordinate_dim": 4,
+                            "output_coordinate_dim": 8,
+                            "resolution": [16, 16, 16, 8]},
+            multires=[1], sh_degree=1, dsh=True, min_intergral=1e-4,
+            min_interval=0.5, mesh_data=mesh_data)
+
+    orig = readers.read_blender_scene
+
+    def small_reader(*a, **k):
+        info = orig(*a, **k)
+        pc = info.point_cloud
+        sel = np.random.RandomState(0).choice(pc.points.shape[0], 200,
+                                              replace=False)
+        return info._replace(point_cloud=PointCloud(
+            points=pc.points[sel], colors=pc.colors[sel],
+            times=pc.times[sel]))
+
+    readers.SCENE_READERS["blender"] = small_reader
+    try:
+        sc1 = scene_mod.Scene(cfg_for(1))
+        sc4 = scene_mod.Scene(cfg_for(4))
+    finally:
+        readers.SCENE_READERS["blender"] = orig
+
+    tr1 = Trainer(cfg_for(1), sc1)
+    tr4 = Trainer(cfg_for(4), sc4)
+    loader = sc1.train_loader(4, num_workers=2, seed=1)
+    batch = next(iter(loader))
+    args = (jax.tree_util.tree_map(jnp.asarray, batch.cams),
+            jnp.asarray(batch.gt), jnp.asarray(batch.timestamps))
+    s1, m1 = tr1._train_step(tr1.state, *args, stage="dynamatic",
+                             sh_degree=1, scale_integral=True)
+    s4, m4 = tr4._train_step(tr4.state, *args, stage="dynamatic",
+                             sh_degree=1, scale_integral=True)
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]),
+                               rtol=1e-5)
+    # updated params agree to fp tolerance (reduction order differs)
+    a = np.asarray(s1.points.xyz)
+    b = np.asarray(s4.points.xyz)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    ga = np.asarray(s1.aux.xyz_grad_accum)
+    gb = np.asarray(s4.aux.xyz_grad_accum)
+    np.testing.assert_allclose(ga, gb, rtol=1e-3, atol=1e-7)
