@@ -63,6 +63,11 @@ class Camera:
         background (Blender) like scene/dataset.py:57-97."""
         if self._image is not None:
             return self._image
+        from .. import native
+        bg = (1.0, 1.0, 1.0) if white_background else (0.0, 0.0, 0.0)
+        img = native.load_image(self.image_path, self.width, self.height, bg)
+        if img is not None:
+            return img
         from PIL import Image
         img = Image.open(self.image_path)
         if img.size != (self.width, self.height):

@@ -62,11 +62,20 @@ def rotmat2qvec(R):
     return qvec
 
 
+def _native():
+    from .. import native
+    return native
+
+
 def _read(f, n, fmt):
     return struct.unpack("<" + fmt, f.read(n))
 
 
 def read_cameras_binary(path):
+    native_out = _native().read_cameras_bin(str(path))
+    if native_out is not None:
+        return {cid: ColmapCamera(cid, MODEL_BY_ID[mid].name, w, h, params)
+                for cid, mid, w, h, params in native_out}
     cams = {}
     with open(path, "rb") as f:
         num = _read(f, 8, "Q")[0]
@@ -80,6 +89,11 @@ def read_cameras_binary(path):
 
 
 def read_images_binary(path, load_points=False):
+    if not load_points:
+        native_out = _native().read_images_bin(str(path))
+        if native_out is not None:
+            return {iid: ColmapImage(iid, q, t, cid, name, None, None)
+                    for iid, q, t, cid, name in native_out}
     images = {}
     with open(path, "rb") as f:
         num = _read(f, 8, "Q")[0]
@@ -109,6 +123,9 @@ def read_images_binary(path, load_points=False):
 
 def read_points3d_binary(path):
     """Returns (xyz [N,3], rgb [N,3] uint8, error [N])."""
+    native_out = _native().read_points3d_bin(str(path))
+    if native_out is not None:
+        return native_out
     with open(path, "rb") as f:
         num = _read(f, 8, "Q")[0]
         xyz = np.empty((num, 3))

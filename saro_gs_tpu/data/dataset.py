@@ -53,13 +53,27 @@ class BatchLoader:
         # runs inside a pool worker: decode inline (nested pool.map from a
         # worker can exhaust the pool and deadlock)
         cams = [self.cameras[i] for i in idxs]
-        imgs = [c.load_image(self.white_background) for c in cams]
+        imgs = self._decode(cams)
         return CameraBatch(
             cams=stack_camera_params(cams),
             gt=np.stack(imgs),
             timestamps=np.asarray([c.timestamp for c in cams],
                                   np.float32).reshape(-1, 1, 1),
             indices=np.asarray(idxs))
+
+    def _decode(self, cams: List[Camera]) -> List[np.ndarray]:
+        """Batch image decode: one native threaded call (no GIL) when every
+        view is uncached and same-sized, else the per-camera python path."""
+        from .. import native
+        if (native.available()
+                and all(c._image is None and c.image_path for c in cams)
+                and len({(c.width, c.height) for c in cams}) == 1):
+            bg = ((1.0,) * 3 if self.white_background else (0.0,) * 3)
+            out = native.load_images([c.image_path for c in cams],
+                                     cams[0].width, cams[0].height, bg)
+            if out is not None:
+                return list(out)
+        return [c.load_image(self.white_background) for c in cams]
 
     def epoch(self) -> Iterator[CameraBatch]:
         order = np.arange(len(self.cameras))

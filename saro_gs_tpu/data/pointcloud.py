@@ -20,6 +20,10 @@ from ..models.gaussians import PointCloud
 
 def _nn_distance(points: np.ndarray) -> np.ndarray:
     """Distance to the nearest OTHER point, [N]."""
+    from .. import native
+    d = native.nn_distance(points)
+    if d is not None:
+        return d
     try:
         from scipy.spatial import cKDTree
         tree = cKDTree(points)

@@ -1,0 +1,116 @@
+"""Stage-by-stage TPU timing of the render pipeline at bench settings.
+
+Times (jitted separately, block_until_ready):
+  1. deformation (field + MLPs)
+  2. preprocess (project/cov2d/SH)
+  3. binning (instance expansion + sort + ranges)
+  4. forward compositing (pallas)
+  5. full test_render
+Prints one JSON line per stage.
+"""
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timeit(fn, *args, reps=8):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / reps
+
+
+if __name__ == "__main__":
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _camera, _synthetic_state
+    from saro_gs_tpu.models import gaussians as gm
+    from saro_gs_tpu.ops import binning, projection
+    from saro_gs_tpu.ops.rasterize import RasterConfig, rasterize
+    from saro_gs_tpu.render import test_render
+
+    width, height = 1352, 1014
+    n = 200_000
+    cfg, params, nets, alive, fstatic = _synthetic_state(n=n, capacity=n,
+                                                         seed=3)
+    rng = np.random.RandomState(0)
+    params = params._replace(
+        scaling=jnp.asarray(np.log(rng.uniform(0.003, 0.02, (n, 3))),
+                            jnp.float32))
+    cam = _camera(width, height)
+    rcfg = RasterConfig(tile_x=32, tile_y=32, chunk=128,
+                        max_instances=1 << 21, backend="pallas",
+                        max_slots=512)
+    bg = jnp.zeros(3)
+    results = {}
+
+    feat = gm.field_feat(params, nets, cfg, fstatic)
+
+    # 1. deformation
+    @jax.jit
+    def deform(ts, feat):
+        return gm.deform_eval(params, nets, jnp.float32(ts), cfg, feat)
+    results["deform"] = timeit(deform, 0.4, feat)
+
+    dyn = deform(0.4, feat)
+    means3d, scales, quats, opac, shs = (
+        dyn.xyz, dyn.scaling, dyn.rotation, dyn.opacity, dyn.shs)
+
+    # 2. preprocess
+    @jax.jit
+    def pre_fn():
+        return projection.preprocess(
+            means3d, scales, quats, opac, cam, width, height,
+            rcfg.tile_x, rcfg.tile_y, sh_degree=3, shs=shs,
+            colors_precomp=None, active=alive)
+    results["preprocess"] = timeit(pre_fn)
+    pre = pre_fn()
+
+    grid_x = (width + rcfg.tile_x - 1) // rcfg.tile_x
+    grid_y = (height + rcfg.tile_y - 1) // rcfg.tile_y
+
+    # 3. binning
+    @jax.jit
+    def bin_fn():
+        return binning.bin_gaussians(pre, grid_x, grid_y,
+                                     rcfg.max_instances, rcfg.chunk)
+    results["binning"] = timeit(bin_fn)
+    bins = bin_fn()
+    results["num_instances"] = int(np.asarray(
+        bins.tile_count).sum())
+    results["num_dropped"] = int(np.asarray(bins.num_dropped))
+
+    # 4. forward compositing only
+    from saro_gs_tpu.ops import tile_kernels
+
+    @jax.jit
+    def comp_fn():
+        return tile_kernels.forward_tiles_pallas(
+            bins.point_list, bins.tile_start, bins.tile_count,
+            pre.mean2d, pre.conic, opac.reshape(-1), pre.rgb, pre.depth,
+            bg, width, height, rcfg.tile_x, rcfg.tile_y, rcfg.chunk)
+    results["compositing"] = timeit(comp_fn)
+
+    # 5. full eval render
+    @jax.jit
+    def full(ts, feat):
+        out, _ = test_render(cam, ts, params, nets, alive, cfg, fstatic, bg,
+                             width=width, height=height, sh_degree=3,
+                             rcfg=rcfg, feat=feat)
+        return out.color
+    results["full_render"] = timeit(full, jnp.float32(0.4), feat)
+
+    for k, v in results.items():
+        if isinstance(v, float):
+            results[k] = round(v * 1000, 2)
+    print(json.dumps(results), flush=True)
+    os._exit(0)
