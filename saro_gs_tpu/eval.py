@@ -94,7 +94,9 @@ class Evaluator:
         render = self._render_fn(cam0.width, cam0.height,
                                  self.mcfg.sh_degree, require_segment)
 
-        psnrs, ssims, msssims = [], [], []
+        from .train import lpips as lpips_mod
+        use_lpips = lpips_mod.lpips_available("alex")
+        psnrs, ssims, msssims, lpipss = [], [], [], []
         for idx, cam in enumerate(cameras):
             out, seg = render(cam.raster_params(),
                               jnp.float32(cam.timestamp), points, nets,
@@ -108,6 +110,8 @@ class Evaluator:
                                                jnp.asarray(gt))))
                 msssims.append(float(losses.msssim(jnp.asarray(img),
                                                    jnp.asarray(gt))))
+                if use_lpips:
+                    lpipss.append(float(lpips_mod.lpips(img, gt, "alex")))
                 if idx % save_every == 0:
                     save_png(os.path.join(out_root, "gt",
                                           f"{idx:05d}.png"), gt)
@@ -143,6 +147,7 @@ class Evaluator:
             "PSNR": float(np.mean(psnrs)) if psnrs else None,
             "SSIM": float(np.mean(ssims)) if ssims else None,
             "MS-SSIM": float(np.mean(msssims)) if msssims else None,
+            "LPIPS-alex": float(np.mean(lpipss)) if lpipss else None,
             "FPS": fps,
             "num_views": len(cameras),
         }

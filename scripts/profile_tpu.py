@@ -58,12 +58,13 @@ if __name__ == "__main__":
     # 1. deformation
     @jax.jit
     def deform(ts, feat):
-        return gm.deform_eval(params, nets, jnp.float32(ts), cfg, feat)
+        return gm.deform(params, nets, cfg, fstatic, jnp.float32(ts),
+                         feat=feat)
     results["deform"] = timeit(deform, 0.4, feat)
 
     dyn = deform(0.4, feat)
     means3d, scales, quats, opac, shs = (
-        dyn.xyz, dyn.scaling, dyn.rotation, dyn.opacity, dyn.shs)
+        dyn.xyz, dyn.scaling, dyn.rotation, dyn.opacity.reshape(-1), dyn.shs)
 
     # 2. preprocess
     @jax.jit
