@@ -157,17 +157,22 @@ def read_cameras_text(path):
 
 
 def read_images_text(path):
+    """Two lines per image: pose header + (possibly empty) points2D."""
     images = {}
     with open(path) as f:
-        lines = [ln.strip() for ln in f
-                 if ln.strip() and not ln.startswith("#")]
-    for i in range(0, len(lines), 2):
+        lines = [ln.strip() for ln in f if not ln.startswith("#")]
+    i = 0
+    while i < len(lines):
+        if not lines[i]:
+            i += 1
+            continue
         el = lines[i].split()
         iid = int(el[0])
         qvec = np.array(el[1:5], float)
         tvec = np.array(el[5:8], float)
         images[iid] = ColmapImage(iid, qvec, tvec, int(el[8]), el[9],
                                   None, None)
+        i += 2   # skip the points2D line (even when empty)
     return images
 
 

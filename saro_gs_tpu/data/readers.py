@@ -211,7 +211,13 @@ def read_blender_scene(path: str, duration: int = 150, resolution: int = 2,
                      nerf_translate=translate, ply_path=ply_path)
 
 
+def _read_hypernerf(*args, **kwargs):
+    from .hypernerf import read_hypernerf_scene
+    return read_hypernerf_scene(*args, **kwargs)
+
+
 SCENE_READERS = {
     "colmap": read_colmap_scene,
     "blender": read_blender_scene,
+    "hypernerf": _read_hypernerf,
 }

@@ -32,6 +32,10 @@ def timeit(fn, *args, reps=8):
 if __name__ == "__main__":
     import jax
     import jax.numpy as jnp
+    stages = sys.argv[1].split(",") if len(sys.argv) > 1 else None
+
+    def want(name):
+        return stages is None or name in stages
     from __graft_entry__ import _camera, _synthetic_state
     from saro_gs_tpu.models import gaussians as gm
     from saro_gs_tpu.ops import binning, projection
@@ -60,7 +64,8 @@ if __name__ == "__main__":
     def deform(ts, feat):
         return gm.deform(params, nets, cfg, fstatic, jnp.float32(ts),
                          feat=feat)
-    results["deform"] = timeit(deform, 0.4, feat)
+    if want("deform"):
+        results["deform"] = timeit(deform, 0.4, feat)
 
     dyn = deform(0.4, feat)
     means3d, scales, quats, opac, shs = (
@@ -73,7 +78,8 @@ if __name__ == "__main__":
             means3d, scales, quats, opac, cam, width, height,
             rcfg.tile_x, rcfg.tile_y, sh_degree=3, shs=shs,
             colors_precomp=None, active=alive)
-    results["preprocess"] = timeit(pre_fn)
+    if want("preprocess"):
+        results["preprocess"] = timeit(pre_fn)
     pre = pre_fn()
 
     grid_x = (width + rcfg.tile_x - 1) // rcfg.tile_x
@@ -84,7 +90,8 @@ if __name__ == "__main__":
     def bin_fn():
         return binning.bin_gaussians(pre, grid_x, grid_y,
                                      rcfg.max_instances, rcfg.chunk)
-    results["binning"] = timeit(bin_fn)
+    if want("binning"):
+        results["binning"] = timeit(bin_fn)
     bins = bin_fn()
     results["num_instances"] = int(np.asarray(
         bins.tile_count).sum())
@@ -99,7 +106,8 @@ if __name__ == "__main__":
             bins.point_list, bins.tile_start, bins.tile_count,
             pre.mean2d, pre.conic, opac.reshape(-1), pre.rgb, pre.depth,
             bg, width, height, rcfg.tile_x, rcfg.tile_y, rcfg.chunk)
-    results["compositing"] = timeit(comp_fn)
+    if want("compositing"):
+        results["compositing"] = timeit(comp_fn)
 
     # 5. full eval render
     @jax.jit
@@ -108,7 +116,8 @@ if __name__ == "__main__":
                              width=width, height=height, sh_degree=3,
                              rcfg=rcfg, feat=feat)
         return out.color
-    results["full_render"] = timeit(full, jnp.float32(0.4), feat)
+    if want("full"):
+        results["full_render"] = timeit(full, jnp.float32(0.4), feat)
 
     for k, v in results.items():
         if isinstance(v, float):
