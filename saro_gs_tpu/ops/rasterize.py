@@ -129,7 +129,8 @@ def _rasterize_bwd(statics, res, cot):
             bins.point_list, bins.tile_start, bins.tile_count,
             pre.mean2d, pre.conic, opac, pre.rgb,
             bg, fwd.color, fwd.final_t, d_color,
-            width, height, cfg.tile_x, cfg.tile_y, cfg.chunk)
+            width, height, cfg.tile_x, cfg.tile_y, cfg.chunk,
+            n_contrib=fwd.n_contrib)
     else:
         inst = compositing.backward_tiles(
             bins.point_list, bins.tile_start, bins.tile_count,

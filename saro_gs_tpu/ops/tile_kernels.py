@@ -120,14 +120,31 @@ def _fwd_kernel(starts_ref, counts_ref, attr_hbm,
     pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p)
     rows = _row_iota(k, p)
 
-    def body(c, carry):
-        T_in, C_in, D_in, NC_in = carry
+    def copy_chunk(c, slot):
         off = pl.multiple_of(start + c * k, k)   # binning chunk-aligns starts
-        dma = pltpu.make_async_copy(
-            attr_hbm.at[:, pl.ds(off, k)], attr_vmem, sem)
-        dma.start()
-        dma.wait()
-        attr = attr_vmem[:, :]
+        return pltpu.make_async_copy(
+            attr_hbm.at[:, pl.ds(off, k)], attr_vmem.at[slot], sem.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        copy_chunk(0, 0).start()
+
+    def cond(carry):
+        c, T_in, *_ = carry
+        # early termination: stop once every pixel's transmittance is
+        # saturated (forward.cu's per-pixel done flag, expressed per tile)
+        return jnp.logical_and(c < nchunks, jnp.any(T_in >= T_EPS))
+
+    def body(carry):
+        c, T_in, C_in, D_in, NC_in = carry
+        slot = jax.lax.rem(c, 2)
+        copy_chunk(c, slot).wait()
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            copy_chunk(c + 1, 1 - slot).start()
+
+        attr = attr_vmem[slot]
         _, _, _, _, a_eff, _ = _chunk_alpha(attr, pxf, pyf, k, p)
         # prefix transmittance within chunk (carry folded in)
         tt = _prefix_op(1.0 - a_eff, 1.0, jnp.multiply, k) * T_in    # [K,P]
@@ -146,19 +163,26 @@ def _fwd_kernel(starts_ref, counts_ref, attr_hbm,
             jnp.any(crossing, axis=0, keepdims=True),
             jnp.sum(jnp.where(crossing, depth_k, 0.0), axis=0,
                     keepdims=True), D_in)
-        slot = c * k + rows + 1
+        nc_slot = c * k + rows + 1
         NC_out = jnp.maximum(
-            NC_in, jnp.max(jnp.where(contrib, slot, 0), axis=0,
+            NC_in, jnp.max(jnp.where(contrib, nc_slot, 0), axis=0,
                            keepdims=True))
         T_out = jnp.minimum(
             T_in, jnp.min(jnp.where(live, tt, 2.0), axis=0, keepdims=True))
-        return T_out, C_out, D_out, NC_out
+        return c + 1, T_out, C_out, D_out, NC_out
 
     T0 = jnp.ones((1, p), jnp.float32)
     C0 = jnp.zeros((3, p), jnp.float32)
     D0 = jnp.full((1, p), DEPTH_DEFAULT, jnp.float32)
     NC0 = jnp.zeros((1, p), jnp.int32)
-    T, C, D, NC = jax.lax.fori_loop(0, nchunks, body, (T0, C0, D0, NC0))
+    c_fin, T, C, D, NC = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), T0, C0, D0, NC0))
+
+    # drain the prefetch issued for the chunk we never processed (early exit)
+    @pl.when(jnp.logical_and(c_fin > 0, c_fin < nchunks))
+    def _():
+        copy_chunk(c_fin, jax.lax.rem(c_fin, 2)).wait()
+
     color_ref[0] = C
     depth_ref[0] = D
     t_ref[0] = T
@@ -204,8 +228,8 @@ def forward_tiles_pallas(point_list, tile_start, tile_count,
             pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((_ROWS, k), jnp.float32),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM((2, _ROWS, k), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
     )
     color, dep, t_fin, nc = pl.pallas_call(
         kern,
@@ -244,7 +268,7 @@ def _bwd_kernel(starts_ref, counts_ref, attr_hbm, dpix_ref, cfg_ref,
                 *, k, p, grid_x, tile_x, tile_y, width, height):
     t = pl.program_id(0)
     start = starts_ref[t]
-    count = counts_ref[t]
+    count = counts_ref[t]   # pre-clamped to the tile's max n_contrib
     nchunks = pl.cdiv(count, k)
     pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p)
     rows = _row_iota(k, p)
@@ -254,14 +278,27 @@ def _bwd_kernel(starts_ref, counts_ref, attr_hbm, dpix_ref, cfg_ref,
     bg = bg_ref[0]                        # [3, 1] broadcastable? stored [3,P]
     bg_dot = jnp.sum(bg * dpix, axis=0, keepdims=True)   # [1, P]
 
+    def copy_chunk(c, slot):
+        off = pl.multiple_of(start + c * k, k)
+        return pltpu.make_async_copy(
+            attr_hbm.at[:, pl.ds(off, k)], attr_vmem.at[slot],
+            sem_in.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        copy_chunk(0, 0).start()
+
     def body(c, carry):
         T_in, P_in = carry
+        slot = jax.lax.rem(c, 2)
+        copy_chunk(c, slot).wait()
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            copy_chunk(c + 1, 1 - slot).start()
+
         off = pl.multiple_of(start + c * k, k)
-        dma = pltpu.make_async_copy(
-            attr_hbm.at[:, pl.ds(off, k)], attr_vmem, sem_in)
-        dma.start()
-        dma.wait()
-        attr = attr_vmem[:, :]
+        attr = attr_vmem[slot]
         dx, dy, g, alpha, a_eff, ok = _chunk_alpha(attr, pxf, pyf, k, p)
         tt = _prefix_op(1.0 - a_eff, 1.0, jnp.multiply, k) * T_in
         tprev = pltpu.roll(tt, shift=1, axis=0)
@@ -312,7 +349,7 @@ def _bwd_kernel(starts_ref, counts_ref, attr_hbm, dpix_ref, cfg_ref,
         dma_out = pltpu.make_async_copy(
             gout_vmem, grads_hbm.at[:, pl.ds(off, k)], sem_out)
         dma_out.start()
-        dma_out.wait()
+        dma_out.wait()   # gout is reused next chunk; keep the store fenced
 
         T_out = jnp.minimum(
             T_in, jnp.min(jnp.where(live, tt, 2.0), axis=0, keepdims=True))
@@ -343,7 +380,8 @@ def _tileify(img, grid_y, grid_x, tile_y, tile_x, ch=None):
 def backward_tiles_pallas(point_list, tile_start, tile_count,
                           mean2d, conic, opacity, rgb, bg,
                           out_color, final_t, d_color,
-                          width, height, tile_x, tile_y, chunk):
+                          width, height, tile_x, tile_y, chunk,
+                          n_contrib=None):
     p = tile_x * tile_y
     k = chunk
     grid_x = (width + tile_x - 1) // tile_x
@@ -351,6 +389,16 @@ def backward_tiles_pallas(point_list, tile_start, tile_count,
     nt = grid_x * grid_y
     mi_pad = point_list.shape[0]
     f32 = jnp.float32
+
+    # clamp each tile's walk to its max contributing slot (the reference's
+    # back-to-front start at n_contrib, backward.cu:440-452): slots past the
+    # last contribution have exactly zero gradient
+    if n_contrib is not None:
+        nc_t = _tileify(n_contrib.astype(jnp.int32), grid_y, grid_x,
+                        tile_y, tile_x)[:, 0]                    # [NT, P]
+        tile_count = jnp.minimum(tile_count,
+                                 jnp.max(nc_t, axis=-1).astype(jnp.int32))
+
     attr = _stage_instances(point_list, mean2d.astype(f32),
                             conic.astype(f32), opacity.astype(f32),
                             rgb.astype(f32),
@@ -378,9 +426,9 @@ def backward_tiles_pallas(point_list, tile_start, tile_count,
             pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0)),     # bg
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        scratch_shapes=[pltpu.VMEM((_ROWS, k), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, _ROWS, k), jnp.float32),
                         pltpu.VMEM((_GROWS, k), jnp.float32),
-                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA],
     )
     grads = pl.pallas_call(
@@ -390,6 +438,15 @@ def backward_tiles_pallas(point_list, tile_start, tile_count,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
     )(tile_start, tile_count, attr, dpix_t, cfg_t, tfin_t, bg_t)[0]
+
+    # slots in chunks the kernel never visited hold uninitialized memory:
+    # mask to the processed (chunk-rounded) prefix of every tile's range
+    processed = ((tile_count + k - 1) // k) * k                  # [NT]
+    s = jnp.arange(mi_pad, dtype=jnp.int32)
+    tile_of = jnp.clip(
+        jnp.searchsorted(tile_start, s, side="right") - 1, 0, nt - 1)
+    valid = ((s - tile_start[tile_of]) < processed[tile_of]).astype(f32)
+    grads = grads * valid[None, :]
 
     return InstanceGrads(
         d_rgb=grads[0:3].T,

@@ -57,7 +57,8 @@ if __name__ == "__main__":
     bg = jnp.zeros(3)
     results = {}
 
-    feat = gm.field_feat(params, nets, cfg, fstatic)
+    feat = jax.jit(gm.field_feat, static_argnames=("cfg",))(
+        params, nets, cfg, fstatic)
 
     # 1. deformation
     @jax.jit
@@ -118,6 +119,17 @@ if __name__ == "__main__":
         return out.color
     if want("full"):
         results["full_render"] = timeit(full, jnp.float32(0.4), feat)
+
+    # same program but returning one scalar: isolates device compute from
+    # any per-frame image readback the platform tunnel may do
+    @jax.jit
+    def full_scalar(ts, feat):
+        out, _ = test_render(cam, ts, params, nets, alive, cfg, fstatic, bg,
+                             width=width, height=height, sh_degree=3,
+                             rcfg=rcfg, feat=feat)
+        return out.color.sum()
+    if want("full_scalar"):
+        results["full_scalar"] = timeit(full_scalar, jnp.float32(0.4), feat)
 
     for k, v in results.items():
         if isinstance(v, float):
