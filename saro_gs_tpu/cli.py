@@ -40,6 +40,9 @@ def train_main(argv=None):
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--backend", default=None, choices=["pallas", "jax"])
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--start_checkpoint", default=None,
+                   help="warm-start from a point_cloud.ply (+ sibling .npz) "
+                        "checkpoint (reference --checkpoint, train.py:70-71)")
     args = p.parse_args(argv)
 
     overrides = {"source_path": args.source_path,
@@ -63,6 +66,10 @@ def train_main(argv=None):
     np.random.seed(cfg.seed)
 
     scene = Scene(cfg)
+    if args.start_checkpoint:
+        scene.load_checkpoint(args.start_checkpoint)
+        print(f"warm-start from {args.start_checkpoint}: "
+              f"{int(np.asarray(scene.alive).sum())} points")
     trainer = Trainer(cfg, scene)
     # initial z-floater prune for COLMAP scenes (train.py:128-134)
     if cfg.densify in (1, 2, 4):

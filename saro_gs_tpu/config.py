@@ -105,6 +105,13 @@ class Config:
     mesh_tile: int = 1
     save_iterations: List[int] = dataclasses.field(default_factory=list)
     testing_iterations: List[int] = dataclasses.field(default_factory=list)
+    # observability (reference: wandb in train.py:306-336, cuda-event
+    # timing; here both optional/gated)
+    use_wandb: bool = False
+    wandb_project: str = "saro-gs-tpu"
+    profile_dir: str = ""              # jax.profiler trace output ("" = off)
+    profile_iters: tuple = (100, 110)  # [start, stop) iteration window
+    nan_check: bool = False            # debug NaN guard on metrics
 
     unknown_keys: dict = dataclasses.field(default_factory=dict)
 

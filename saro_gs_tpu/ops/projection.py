@@ -39,6 +39,14 @@ class PreprocessOut(NamedTuple):
     cov2d: jnp.ndarray        # [N,3]
 
 
+def mark_visible(means3d: jnp.ndarray, cam: CameraParams) -> jnp.ndarray:
+    """Frustum-visibility boolean per point (``markVisible``,
+    rasterize_points.cu:196-215 / rasterizer_impl.cu:141-153): view-space
+    z > 0.2."""
+    p_view = math3d.transform_point_4x3(means3d, cam.viewmat)
+    return p_view[..., 2] > 0.2
+
+
 def get_rect(point_image: jnp.ndarray, radius: jnp.ndarray,
              grid_x: int, grid_y: int, tile_x: int, tile_y: int):
     """Tile rectangle covered by a splat (auxiliary.h:46-56).

@@ -44,6 +44,13 @@ class TrainState(NamedTuple):
     step: jnp.ndarray              # int32
 
 
+def dataclasses_dict(cfg) -> dict:
+    import dataclasses as _dc
+    return {f.name: getattr(cfg, f.name) for f in _dc.fields(cfg)
+            if isinstance(getattr(cfg, f.name),
+                          (int, float, str, bool, list, tuple))}
+
+
 def _masked_std(x, mask):
     """Unbiased std over masked rows (torch .std semantics)."""
     n = jnp.maximum(mask.sum(), 2.0)
@@ -227,10 +234,21 @@ class Trainer:
                                          seed=cfg.seed)
         it = int(self.state.step)
         t_start = time.time()
+        wandb = None
+        if cfg.use_wandb:
+            try:
+                import wandb as _wandb  # optional (train.py:306 parity)
+                wandb = _wandb
+                wandb.init(project=cfg.wandb_project, name=cfg.exp_name,
+                           config=dataclasses_dict(cfg))
+            except Exception as e:
+                print(f"[warn] wandb unavailable: {e}")
         for batch in loader:
             it += 1
             if it > total:
                 break
+            if cfg.profile_dir and it == cfg.profile_iters[0]:
+                jax.profiler.start_trace(cfg.profile_dir)
             stage = self.stage_at(it)
             use_int, scale_int = self.integral_flags(it)
             if stage == "dynamatic" and it % 50 == 0:
@@ -242,6 +260,15 @@ class Trainer:
                 stage=stage, sh_degree=self.active_sh_degree,
                 scale_integral=scale_int)
 
+            if cfg.profile_dir and it == cfg.profile_iters[1]:
+                jax.block_until_ready(self.state.points.xyz)
+                jax.profiler.stop_trace()
+                print(f"[profile] trace written to {cfg.profile_dir}")
+            if cfg.nan_check and not np.isfinite(float(metrics["loss"])):
+                # the reference asserts on NaN t-center grads
+                # (saro_gaussian.py:278-279); we guard the loss scalar
+                raise FloatingPointError(f"non-finite loss at it {it}")
+
             if cfg.use_shs and it % 1000 == 0:
                 self.active_sh_degree = min(self.active_sh_degree + 1,
                                             cfg.sh_degree)
@@ -251,7 +278,7 @@ class Trainer:
             if int(metrics["dropped"]) > 0:
                 print(f"[warn] it {it}: {int(metrics['dropped'])} instances "
                       f"dropped (raise max_instances)")
-            if it % log_every == 0:
+            if it % log_every == 0 or it == 1:
                 rec = {"it": it, "stage": stage,
                        "loss": float(metrics["loss"]),
                        "Ll1": float(metrics["Ll1"]),
@@ -261,7 +288,9 @@ class Trainer:
                 self.history.append(rec)
                 print(f"[{it}/{total}] loss={rec['loss']:.5f} "
                       f"psnr={rec['psnr']:.2f} pts={rec['points']} "
-                      f"({rec['elapsed_s']:.0f}s)")
+                      f"({rec['elapsed_s']:.0f}s)", flush=True)
+                if wandb is not None:
+                    wandb.log(rec, step=it)
             if eval_fn is not None and it in set(cfg.testing_iterations):
                 eval_fn(self, it)
             if it in set(cfg.save_iterations):

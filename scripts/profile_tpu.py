@@ -19,14 +19,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, reps=8):
+def timeit(fn, *args, reps=8, name=None):
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
     jax.block_until_ready(out)
-    return (time.time() - t0) / reps
+    dt = (time.time() - t0) / reps
+    if name:
+        print(json.dumps({name: round(dt * 1000, 2)}), flush=True)
+    return dt
 
 
 if __name__ == "__main__":
@@ -66,7 +69,7 @@ if __name__ == "__main__":
         return gm.deform(params, nets, cfg, fstatic, jnp.float32(ts),
                          feat=feat)
     if want("deform"):
-        results["deform"] = timeit(deform, 0.4, feat)
+        results["deform"] = timeit(deform, 0.4, feat, name="deform")
 
     dyn = deform(0.4, feat)
     means3d, scales, quats, opac, shs = (
@@ -80,7 +83,7 @@ if __name__ == "__main__":
             rcfg.tile_x, rcfg.tile_y, sh_degree=3, shs=shs,
             colors_precomp=None, active=alive)
     if want("preprocess"):
-        results["preprocess"] = timeit(pre_fn)
+        results["preprocess"] = timeit(pre_fn, name="pre_fn")
     pre = pre_fn()
 
     grid_x = (width + rcfg.tile_x - 1) // rcfg.tile_x
@@ -92,7 +95,7 @@ if __name__ == "__main__":
         return binning.bin_gaussians(pre, grid_x, grid_y,
                                      rcfg.max_instances, rcfg.chunk)
     if want("binning"):
-        results["binning"] = timeit(bin_fn)
+        results["binning"] = timeit(bin_fn, name="bin_fn")
     bins = bin_fn()
     results["num_instances"] = int(np.asarray(
         bins.tile_count).sum())
@@ -108,7 +111,7 @@ if __name__ == "__main__":
             pre.mean2d, pre.conic, opac.reshape(-1), pre.rgb, pre.depth,
             bg, width, height, rcfg.tile_x, rcfg.tile_y, rcfg.chunk)
     if want("compositing"):
-        results["compositing"] = timeit(comp_fn)
+        results["compositing"] = timeit(comp_fn, name="comp_fn")
 
     # 5. full eval render
     @jax.jit
@@ -118,7 +121,8 @@ if __name__ == "__main__":
                              rcfg=rcfg, feat=feat)
         return out.color
     if want("full"):
-        results["full_render"] = timeit(full, jnp.float32(0.4), feat)
+        results["full_render"] = timeit(full, jnp.float32(0.4), feat,
+                                        name="full")
 
     # same program but returning one scalar: isolates device compute from
     # any per-frame image readback the platform tunnel may do
@@ -129,7 +133,8 @@ if __name__ == "__main__":
                              rcfg=rcfg, feat=feat)
         return out.color.sum()
     if want("full_scalar"):
-        results["full_scalar"] = timeit(full_scalar, jnp.float32(0.4), feat)
+        results["full_scalar"] = timeit(full_scalar, jnp.float32(0.4), feat,
+                                        name="full_scalar")
 
     for k, v in results.items():
         if isinstance(v, float):

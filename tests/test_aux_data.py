@@ -183,3 +183,16 @@ class TestHyperNerf:
     def test_registered(self):
         from saro_gs_tpu.data.readers import SCENE_READERS
         assert "hypernerf" in SCENE_READERS
+
+
+class TestMarkVisible:
+    def test_frustum_cull(self):
+        import jax.numpy as jnp
+        from saro_gs_tpu.ops.projection import mark_visible
+        from tests.scene_fixtures import make_camera
+        cam, _ = make_camera(cam_z=-4.0)
+        pts = jnp.asarray([[0.0, 0.0, 0.0],    # in front (view z=4)
+                           [0.0, 0.0, -3.9],   # z=0.1 -> culled (<=0.2)
+                           [0.0, 0.0, -10.0]])  # behind
+        vis = mark_visible(pts, cam)
+        assert vis.tolist() == [True, False, False]
