@@ -136,6 +136,71 @@ if __name__ == "__main__":
         results["full_scalar"] = timeit(full_scalar, jnp.float32(0.4), feat,
                                         name="full_scalar")
 
+    # successive truncation with REAL traced args (immune to constant
+    # folding): t(bin) = trunc2 - trunc1, t(comp+glue) = full - trunc2
+    if want("trunc"):
+        def build(upto):
+            @jax.jit
+            def fn(ts, feat):
+                d = gm.deform(params, nets, cfg, fstatic, ts, feat=feat)
+                o = d.opacity.reshape(-1)
+                pre_ = projection.preprocess(
+                    means3d=d.xyz, scales=d.scaling, quats=d.rotation,
+                    opacities=o, cam=cam, width=width, height=height,
+                    tile_x=rcfg.tile_x, tile_y=rcfg.tile_y, sh_degree=3,
+                    shs=d.shs, colors_precomp=None, active=alive)
+                if upto == 1:
+                    return jax.tree_util.tree_map(jnp.sum, pre_)
+                bins_ = binning.bin_gaussians(pre_, grid_x, grid_y,
+                                              rcfg.max_instances, rcfg.chunk)
+                return (jnp.sum(bins_.point_list),
+                        jnp.sum(bins_.tile_start))
+            return fn
+        timeit(build(1), jnp.float32(0.4), feat, name="trunc1_pre")
+        timeit(build(2), jnp.float32(0.4), feat, name="trunc2_bin")
+
+    # chained dispatch: the four already-compiled stage programs called
+    # back-to-back per frame (python chaining, no fusion)
+    if want("chained"):
+        from saro_gs_tpu.ops import tile_kernels
+
+        @jax.jit
+        def pre2(means3d, scales, quats, opac, shs):
+            return projection.preprocess(
+                means3d, scales, quats, opac, cam, width, height,
+                rcfg.tile_x, rcfg.tile_y, sh_degree=3, shs=shs,
+                colors_precomp=None, active=alive)
+
+        @jax.jit
+        def bin2(pre):
+            return binning.bin_gaussians(pre, grid_x, grid_y,
+                                         rcfg.max_instances, rcfg.chunk)
+
+        @jax.jit
+        def comp2(bins, pre, opac):
+            return tile_kernels.forward_tiles_pallas(
+                bins.point_list, bins.tile_start, bins.tile_count,
+                pre.mean2d, pre.conic, opac, pre.rgb, pre.depth,
+                bg, width, height, rcfg.tile_x, rcfg.tile_y, rcfg.chunk)
+
+        def frame(ts, feat):
+            d = deform(ts, feat)
+            o = d.opacity.reshape(-1)
+            p = pre2(d.xyz, d.scaling, d.rotation, o, d.shs)
+            b = bin2(p)
+            return comp2(b, p, o)
+        # per-stage with REAL (argument-passed) programs — the no-arg
+        # closures above constant-fold and time only output copies
+        d = deform(jnp.float32(0.4), feat)
+        o = jax.jit(lambda x: x.reshape(-1))(d.opacity)
+        timeit(deform, jnp.float32(0.4), feat, name="s_deform")
+        timeit(pre2, d.xyz, d.scaling, d.rotation, o, d.shs, name="s_pre")
+        p = pre2(d.xyz, d.scaling, d.rotation, o, d.shs)
+        timeit(bin2, p, name="s_bin")
+        b = bin2(p)
+        timeit(comp2, b, p, o, name="s_comp")
+        results["chained"] = timeit(frame, 0.4, feat, name="chained")
+
     for k, v in results.items():
         if isinstance(v, float):
             results[k] = round(v * 1000, 2)
