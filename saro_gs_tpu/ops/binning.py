@@ -108,3 +108,143 @@ def bin_gaussians(pre: PreprocessOut, grid_x: int, grid_y: int,
                       tile_count=count,
                       num_instances=jnp.minimum(total, mi).astype(jnp.int32),
                       num_dropped=num_dropped)
+
+
+# ---------------------------------------------------------------------------
+# staged binning (gather-free): attributes ride the sorts as payloads
+# ---------------------------------------------------------------------------
+
+class StagedBins(NamedTuple):
+    """Tile-sorted instance table with chunk-ALIGNED per-tile ranges.
+
+    ``attr`` rows: x, y, conic_a, conic_b, conic_c, opacity, r, g, b,
+    depth, pad*6 — attribute-major [16, MI + NT*chunk] f32.  Alignment
+    padding consists of synthetic zero-opacity instances that were sorted
+    into place (gid -1), so kernels need no edge masking and all window
+    offsets are provable multiples of ``chunk``.
+    """
+    attr: jnp.ndarray          # [16, MI + NT*chunk] f32
+    ids: jnp.ndarray           # [MI + NT*chunk] int32 gauss ids, -1 padding
+    tile_start: jnp.ndarray    # [NT] int32 (chunk-aligned)
+    tile_count: jnp.ndarray    # [NT] int32 (chunk-padded counts)
+    num_instances: jnp.ndarray
+    num_dropped: jnp.ndarray
+
+
+def _ffill(flag, vals, axis=0):
+    """Segmented forward-fill: every unfilled slot takes the most recent
+    filled value to its left.  One associative scan over (flag, *vals) —
+    O(MI log MI) sequential-friendly traffic instead of a random gather."""
+    def combine(a, b):
+        af, avs = a[0], a[1:]
+        bf, bvs = b[0], b[1:]
+        keep_b = bf > 0
+        return (jnp.maximum(af, bf),) + tuple(
+            jnp.where(keep_b, bv, av) for av, bv in zip(avs, bvs))
+    out = jax.lax.associative_scan(combine, (flag,) + tuple(vals), axis=axis)
+    return out[1:]
+
+
+def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
+                         grid_x: int, grid_y: int, max_instances: int,
+                         chunk: int) -> StagedBins:
+    """Gather-free binning for the Pallas fast path.
+
+    The profile showed XLA gathers (table[ids] staging at instance
+    count) dominating the frame at ~16ns/element while sorts/scans are
+    fast; so all ten per-instance attributes travel as sort payloads:
+
+      1. depth-sort the N gaussians carrying the attributes,
+      2. expand to instances by scattering each gaussian's row to its
+         first instance slot and segmented-forward-filling,
+      3. stable tile-sort the instance table,
+      4. per-tile [start, count) via searchsorted; no chunk-aligned
+         re-layout (kernels read windows at arbitrary offsets and mask
+         edge rows).
+    """
+    num_tiles = grid_x * grid_y
+    n = pre.tiles_touched.shape[0]
+    mi = max_instances
+    f32 = jnp.float32
+
+    opacity = opacity.reshape(-1).astype(f32)
+    depth_key = jnp.where(pre.mask, pre.depth.astype(f32), jnp.inf)
+    rw = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
+    meta = (pre.rect_min[:, 0] + (pre.rect_min[:, 1] << 11) + (rw << 22))
+    chans = (pre.mean2d[:, 0].astype(f32), pre.mean2d[:, 1].astype(f32),
+             pre.conic[:, 0].astype(f32), pre.conic[:, 1].astype(f32),
+             pre.conic[:, 2].astype(f32), opacity,
+             pre.rgb[:, 0].astype(f32), pre.rgb[:, 1].astype(f32),
+             pre.rgb[:, 2].astype(f32), pre.depth.astype(f32))
+
+    sorted_ops = jax.lax.sort(
+        (depth_key, pre.tiles_touched, meta,
+         jnp.arange(n, dtype=jnp.int32)) + chans, num_keys=1)
+    tiles_s, meta_s, gid_s = sorted_ops[1], sorted_ops[2], sorted_ops[3]
+    chans_s = sorted_ops[4:]
+
+    offsets = jnp.cumsum(tiles_s) - tiles_s
+    total = offsets[-1] + tiles_s[-1] if n > 0 else jnp.int32(0)
+
+    # scatter each depth-ranked gaussian's row to its first instance slot
+    idx = jnp.where(tiles_s > 0, jnp.minimum(offsets, mi - 1), mi)
+    def scat(x, fill=0):
+        return jnp.full((mi,), fill, x.dtype).at[idx].set(x, mode="drop")
+    flag = jnp.zeros((mi,), jnp.int32).at[idx].set(1, mode="drop")
+    filled = _ffill(flag, [scat(meta_s), scat(offsets), scat(gid_s, -1)]
+                    + [scat(c) for c in chans_s])
+    meta_i, off_i, gid_i = filled[0], filled[1], filled[2]
+    chans_i = filled[3:]
+
+    inst = jnp.arange(mi, dtype=jnp.int32)
+    local = inst - off_i
+    rminx = meta_i & 0x7FF
+    rminy = (meta_i >> 11) & 0x7FF
+    rw_i = jnp.maximum(meta_i >> 22, 1)   # guard: all-culled prefix
+    tx = rminx + local % rw_i
+    ty = rminy + local // rw_i
+    tile_id = ty * grid_x + tx
+    valid = (inst < jnp.minimum(total, mi)) & (flag.cumsum() > 0)
+    tile_id = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
+    # culled/padding instances must never composite: zero their opacity
+    opac_i = jnp.where(valid, chans_i[5], 0.0)
+    gid_i = jnp.where(valid, gid_i, -1)
+
+    # --- alignment padding as DATA: a cheap key-only pre-sort yields real
+    # per-tile counts; each tile then contributes (-count) mod chunk
+    # synthetic zero-opacity instances to the payload sort, so every tile's
+    # final range is a chunk multiple at a chunk-aligned start -------------
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    pre_sorted = jax.lax.sort((tile_id,), num_keys=1)[0]
+    cstart = jnp.searchsorted(pre_sorted, tids, side="left")
+    cend = jnp.searchsorted(pre_sorted, tids + 1, side="left")
+    pad_t = (-(cend - cstart)) % chunk                      # [NT]
+    s_in_tile = jnp.arange(num_tiles * chunk, dtype=jnp.int32) % chunk
+    dummy_tile = jnp.where(s_in_tile < jnp.repeat(pad_t, chunk),
+                           jnp.arange(num_tiles * chunk,
+                                      dtype=jnp.int32) // chunk,
+                           num_tiles).astype(jnp.int32)
+    nd = num_tiles * chunk
+    zeros_d = jnp.zeros((nd,), f32)
+
+    def cat(x, d):
+        return jnp.concatenate([x, d])
+
+    ts_ops = jax.lax.sort(
+        (cat(tile_id, dummy_tile), cat(gid_i, jnp.full((nd,), -1,
+                                                       jnp.int32)))
+        + tuple(cat(c, zeros_d) for c in chans_i[:5])
+        + (cat(opac_i, zeros_d),)
+        + tuple(cat(c, zeros_d) for c in chans_i[6:]), num_keys=1)
+    gid_t = ts_ops[1]
+    chans_t = ts_ops[2:]
+
+    start = jnp.searchsorted(ts_ops[0], tids, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(ts_ops[0], tids + 1, side="left").astype(jnp.int32)
+
+    attr = jnp.stack(list(chans_t)
+                     + [jnp.zeros((mi + nd,), f32)] * 6, axis=0)
+    return StagedBins(attr=attr, ids=gid_t, tile_start=start,
+                      tile_count=end - start,
+                      num_instances=jnp.minimum(total, mi).astype(jnp.int32),
+                      num_dropped=jnp.maximum(total - mi, 0).astype(jnp.int32))

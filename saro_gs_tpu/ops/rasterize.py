@@ -60,16 +60,16 @@ def _forward(statics, means3d, scales, quats, opacities, shs, colors_precomp,
         colors_precomp=colors_precomp, active=active)
     grid_x = (width + cfg.tile_x - 1) // cfg.tile_x
     grid_y = (height + cfg.tile_y - 1) // cfg.tile_y
-    bins = binning.bin_gaussians(pre, grid_x, grid_y, cfg.max_instances,
-                                 cfg.chunk)
     opac = opacities.reshape(-1)
     if cfg.backend == "pallas":
         from . import tile_kernels
+        bins = binning.bin_gaussians_staged(pre, opac, grid_x, grid_y,
+                                            cfg.max_instances, cfg.chunk)
         fwd = tile_kernels.forward_tiles_pallas(
-            bins.point_list, bins.tile_start, bins.tile_count,
-            pre.mean2d, pre.conic, opac, pre.rgb, pre.depth,
-            bg, width, height, cfg.tile_x, cfg.tile_y, cfg.chunk)
+            bins, bg, width, height, cfg.tile_x, cfg.tile_y, cfg.chunk)
     else:
+        bins = binning.bin_gaussians(pre, grid_x, grid_y, cfg.max_instances,
+                                     cfg.chunk)
         fwd = compositing.forward_tiles(
             bins.point_list, bins.tile_start, bins.tile_count,
             pre.mean2d, pre.conic, opac, pre.rgb, pre.depth,
@@ -126,20 +126,19 @@ def _rasterize_bwd(statics, res, cot):
     if cfg.backend == "pallas":
         from . import tile_kernels
         inst = tile_kernels.backward_tiles_pallas(
-            bins.point_list, bins.tile_start, bins.tile_count,
-            pre.mean2d, pre.conic, opac, pre.rgb,
-            bg, fwd.color, fwd.final_t, d_color,
+            bins, bg, fwd.color, fwd.final_t, d_color,
             width, height, cfg.tile_x, cfg.tile_y, cfg.chunk,
             n_contrib=fwd.n_contrib)
+        ids = bins.ids
     else:
         inst = compositing.backward_tiles(
             bins.point_list, bins.tile_start, bins.tile_count,
             pre.mean2d, pre.conic, opac, pre.rgb,
             bg, fwd.color, fwd.final_t, d_color,
             width, height, cfg.tile_x, cfg.tile_y, cfg.max_slots)
+        ids = bins.point_list
 
     # ---- per-instance -> per-Gaussian (deterministic segment sum) ----------
-    ids = bins.point_list
     seg = jnp.where(ids >= 0, ids, n).astype(jnp.int32)
     def seg_sum(x):
         return jax.ops.segment_sum(x, seg, num_segments=n + 1)[:n]

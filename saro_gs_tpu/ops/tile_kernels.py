@@ -10,20 +10,23 @@ depth-sorted instance list in chunks of K Gaussians as dense [K, P] matrices
   * the front-to-back transmittance recurrence becomes a log-depth prefix
     PRODUCT over the K axis (doubling with `pltpu.roll`),
   * per-pixel early termination (T < 1e-4) is expressed in closed form:
-    a Gaussian contributes iff its prefix transmittance stays >= 1e-4
-    (T is monotonically non-increasing, so the latch is a threshold),
+    a Gaussian contributes iff its prefix transmittance stays >= 1e-4,
+    and whole tiles stop early once every pixel saturates,
   * color accumulation is an MXU matmul [3,K] @ [K,P],
   * the backward re-walks forward with a prefix-SUM, using
     suffix = C_fg - prefix to recover the reference's ``accum_rec``
-    (backward.cu:515-534) without a reverse traversal,
-  * per-instance gradients are DMA'd to an attribute-major [G, MI_PAD]
-    buffer (each instance belongs to exactly one tile, and per-tile ranges
-    are chunk-aligned by the binning stage, so writes never collide) —
-    fully deterministic, replacing the reference's atomicAdd backward.
+    (backward.cu:515-534) without a reverse traversal.
 
-Instance attributes are staged attribute-major [10, MI_PAD] in HBM and
-DMA'd per chunk into VMEM (double-buffer-ready layout; aligned because
-binning pads each tile's range to the chunk size).
+The instance table arrives PRE-STAGED from gather-free binning
+(binning.bin_gaussians_staged): attribute-major [16, MI + NT*chunk] in HBM
+with chunk-ALIGNED per-tile ranges whose alignment padding is synthetic
+zero-opacity instances sorted into place — so every DMA window offset is a
+provable multiple of the chunk (Mosaic lane-tiling requirement) and no edge
+masking is needed.  The backward writes per-instance gradients back at the
+same aligned offsets (each instance belongs to exactly one tile, writes
+never collide) into an aliased zero-initialized output (covering rows the
+n_contrib-clamped walk never visits) — fully deterministic, replacing the
+reference's atomicAdd backward.
 """
 from __future__ import annotations
 
@@ -43,10 +46,10 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-# attribute-major row indices of the staged instance tensor.
-# Row counts are padded to 16 (multiple of the f32 sublane tile, 8) so that
-# Mosaic can slice the staged arrays along dim 0.
-_ROWS = 16  # x, y, conic_a, conic_b, conic_c, opacity, r, g, b, depth, pad*6
+# attribute-major row indices of the staged instance tensor
+# (binning.bin_gaussians_staged): x, y, conic_a, conic_b, conic_c, opacity,
+# r, g, b, depth, pad*6.  16 rows = multiple of the f32 sublane tile.
+_ROWS = 16
 _GROWS = 16  # d_rgb(3), d_mean2d(2), d_conic(3), d_opacity, pad*7
 
 
@@ -66,23 +69,9 @@ def _prefix_op(x, identity, op, k):
     return x
 
 
-def _stage_instances(point_list, mean2d, conic, opacity, rgb, depth):
-    """Gather per-instance attributes, attribute-major [10, MI_PAD] f32."""
-    n = mean2d.shape[0]
-    gid = jnp.clip(point_list, 0, n - 1)
-    valid = (point_list >= 0).astype(jnp.float32)
-    rows = [mean2d[gid, 0], mean2d[gid, 1],
-            conic[gid, 0], conic[gid, 1], conic[gid, 2],
-            opacity[gid] * valid,            # padding slots -> alpha 0
-            rgb[gid, 0], rgb[gid, 1], rgb[gid, 2],
-            depth[gid]]
-    zeros = jnp.zeros_like(rows[0])
-    rows = rows + [zeros] * (_ROWS - len(rows))
-    return jnp.stack(rows, axis=0).astype(jnp.float32)
-
-
 def _chunk_alpha(attr, pxf, pyf, k, p):
-    """Alpha matrix terms for a staged [_ROWS, K] chunk against P pixels."""
+    """Alpha matrix terms for a staged [_ROWS, K] chunk against P pixels.
+    (Alignment-padding rows carry opacity 0 and self-mask.)"""
     def row(i):
         return attr[i, :].reshape(k, 1)
     dx = row(0) - pxf            # [K, P]
@@ -121,9 +110,10 @@ def _fwd_kernel(starts_ref, counts_ref, attr_hbm,
     rows = _row_iota(k, p)
 
     def copy_chunk(c, slot):
-        off = pl.multiple_of(start + c * k, k)   # binning chunk-aligns starts
+        off = pl.multiple_of(start + c * k, k)  # binning aligns tile starts
         return pltpu.make_async_copy(
-            attr_hbm.at[:, pl.ds(off, k)], attr_vmem.at[slot], sem.at[slot])
+            attr_hbm.at[:, pl.ds(off, k)], attr_vmem.at[slot],
+            sem.at[slot])
 
     @pl.when(nchunks > 0)
     def _():
@@ -132,7 +122,7 @@ def _fwd_kernel(starts_ref, counts_ref, attr_hbm,
     def cond(carry):
         c, T_in, *_ = carry
         # early termination: stop once every pixel's transmittance is
-        # saturated (forward.cu's per-pixel done flag, expressed per tile)
+        # saturated (forward.cu's per-pixel done flag, per tile)
         return jnp.logical_and(c < nchunks, jnp.any(T_in >= T_EPS))
 
     def body(carry):
@@ -201,20 +191,14 @@ def _assemble(x, grid_y, grid_x, tile_y, tile_x, height, width, ch=None):
     return x[:, :height, :width]
 
 
-def forward_tiles_pallas(point_list, tile_start, tile_count,
-                         mean2d, conic, opacity, rgb, depth, bg,
-                         width, height, tile_x, tile_y, chunk):
+def forward_tiles_pallas(bins, bg, width, height, tile_x, tile_y, chunk):
+    """bins: binning.StagedBins (gather-free staged instance table)."""
     p = tile_x * tile_y
     assert p % 128 == 0, "pallas path needs tile_x*tile_y % 128 == 0"
     k = chunk
     grid_x = (width + tile_x - 1) // tile_x
     grid_y = (height + tile_y - 1) // tile_y
     nt = grid_x * grid_y
-    attr = _stage_instances(point_list, mean2d.astype(jnp.float32),
-                            conic.astype(jnp.float32),
-                            opacity.astype(jnp.float32),
-                            rgb.astype(jnp.float32),
-                            depth.astype(jnp.float32))
 
     kern = functools.partial(_fwd_kernel, k=k, p=p, grid_x=grid_x,
                              tile_x=tile_x, tile_y=tile_y)
@@ -241,7 +225,7 @@ def forward_tiles_pallas(point_list, tile_start, tile_count,
             jax.ShapeDtypeStruct((nt, 1, p), jnp.int32),
         ],
         interpret=_interpret(),
-    )(tile_start, tile_count, attr)
+    )(bins.tile_start, bins.tile_count, bins.attr)
 
     color_img = _assemble(color, grid_y, grid_x, tile_y, tile_x, height,
                           width, ch=3)
@@ -262,10 +246,11 @@ def forward_tiles_pallas(point_list, tile_start, tile_count,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(starts_ref, counts_ref, attr_hbm, dpix_ref, cfg_ref,
-                tfin_ref, bg_ref,
+                tfin_ref, bg_ref, gzero_hbm,
                 grads_hbm,
                 attr_vmem, gout_vmem, sem_in, sem_out,
                 *, k, p, grid_x, tile_x, tile_y, width, height):
+    del gzero_hbm  # aliased into grads_hbm: pre-zeroed output
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]   # pre-clamped to the tile's max n_contrib
@@ -275,7 +260,7 @@ def _bwd_kernel(starts_ref, counts_ref, attr_hbm, dpix_ref, cfg_ref,
     dpix = dpix_ref[0]                    # [3, P]
     c_fg = cfg_ref[0]                     # [3, P]
     tfin = tfin_ref[0]                    # [1, P]
-    bg = bg_ref[0]                        # [3, 1] broadcastable? stored [3,P]
+    bg = bg_ref[0]                        # [3, P]
     bg_dot = jnp.sum(bg * dpix, axis=0, keepdims=True)   # [1, P]
 
     def copy_chunk(c, slot):
@@ -288,8 +273,12 @@ def _bwd_kernel(starts_ref, counts_ref, attr_hbm, dpix_ref, cfg_ref,
     def _():
         copy_chunk(0, 0).start()
 
-    def body(c, carry):
-        T_in, P_in = carry
+    def cond(carry):
+        c, T_in, _ = carry
+        return jnp.logical_and(c < nchunks, jnp.any(T_in >= T_EPS))
+
+    def body(carry):
+        c, T_in, P_in = carry
         slot = jax.lax.rem(c, 2)
         copy_chunk(c, slot).wait()
 
@@ -297,7 +286,6 @@ def _bwd_kernel(starts_ref, counts_ref, attr_hbm, dpix_ref, cfg_ref,
         def _():
             copy_chunk(c + 1, 1 - slot).start()
 
-        off = pl.multiple_of(start + c * k, k)
         attr = attr_vmem[slot]
         dx, dy, g, alpha, a_eff, ok = _chunk_alpha(attr, pxf, pyf, k, p)
         tt = _prefix_op(1.0 - a_eff, 1.0, jnp.multiply, k) * T_in
@@ -346,6 +334,7 @@ def _bwd_kernel(starts_ref, counts_ref, attr_hbm, dpix_ref, cfg_ref,
         gout_vmem[6, :] = d_cb
         gout_vmem[7, :] = d_cc
         gout_vmem[8, :] = d_op
+        off = pl.multiple_of(start + c * k, k)
         dma_out = pltpu.make_async_copy(
             gout_vmem, grads_hbm.at[:, pl.ds(off, k)], sem_out)
         dma_out.start()
@@ -354,11 +343,15 @@ def _bwd_kernel(starts_ref, counts_ref, attr_hbm, dpix_ref, cfg_ref,
         T_out = jnp.minimum(
             T_in, jnp.min(jnp.where(live, tt, 2.0), axis=0, keepdims=True))
         P_out = jnp.concatenate(psum_rows, axis=0)        # [3, P]
-        return T_out, P_out
+        return c + 1, T_out, P_out
 
     T0 = jnp.ones((1, p), jnp.float32)
     P0 = jnp.zeros((3, p), jnp.float32)
-    jax.lax.fori_loop(0, nchunks, body, (T0, P0))
+    c_fin, _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), T0, P0))
+
+    @pl.when(jnp.logical_and(c_fin > 0, c_fin < nchunks))
+    def _():
+        copy_chunk(c_fin, jax.lax.rem(c_fin, 2)).wait()
 
 
 def _tileify(img, grid_y, grid_x, tile_y, tile_x, ch=None):
@@ -377,32 +370,30 @@ def _tileify(img, grid_y, grid_x, tile_y, tile_x, ch=None):
     return x
 
 
-def backward_tiles_pallas(point_list, tile_start, tile_count,
-                          mean2d, conic, opacity, rgb, bg,
-                          out_color, final_t, d_color,
+def backward_tiles_pallas(bins, bg, out_color, final_t, d_color,
                           width, height, tile_x, tile_y, chunk,
                           n_contrib=None):
+    """bins: binning.StagedBins.  Returns per-instance gradients aligned
+    with ``bins.ids`` (unaligned layout, zero for never-visited slots)."""
     p = tile_x * tile_y
     k = chunk
     grid_x = (width + tile_x - 1) // tile_x
     grid_y = (height + tile_y - 1) // tile_y
     nt = grid_x * grid_y
-    mi_pad = point_list.shape[0]
+    mi_buf = bins.attr.shape[1]
     f32 = jnp.float32
 
+    tile_count = bins.tile_count
     # clamp each tile's walk to its max contributing slot (the reference's
     # back-to-front start at n_contrib, backward.cu:440-452): slots past the
-    # last contribution have exactly zero gradient
+    # last contribution have exactly zero gradient (the aliased zero output
+    # covers the skipped tail rows)
     if n_contrib is not None:
         nc_t = _tileify(n_contrib.astype(jnp.int32), grid_y, grid_x,
                         tile_y, tile_x)[:, 0]                    # [NT, P]
         tile_count = jnp.minimum(tile_count,
                                  jnp.max(nc_t, axis=-1).astype(jnp.int32))
 
-    attr = _stage_instances(point_list, mean2d.astype(f32),
-                            conic.astype(f32), opacity.astype(f32),
-                            rgb.astype(f32),
-                            jnp.zeros_like(opacity, f32))
     bgc = bg.astype(f32)[:, None, None]
     c_fg = out_color.astype(f32) - final_t.astype(f32)[None] * bgc
     dpix_t = _tileify(d_color.astype(f32), grid_y, grid_x, tile_y, tile_x,
@@ -424,6 +415,7 @@ def backward_tiles_pallas(point_list, tile_start, tile_count,
             pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0)),     # c_fg
             pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),     # final_t
             pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0)),     # bg
+            pl.BlockSpec(memory_space=pl.ANY),                 # zero init
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[pltpu.VMEM((2, _ROWS, k), jnp.float32),
@@ -431,22 +423,17 @@ def backward_tiles_pallas(point_list, tile_start, tile_count,
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA],
     )
+    gzero = jnp.zeros((_GROWS, mi_buf), jnp.float32)
     grads = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((_GROWS, mi_pad), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((_GROWS, mi_buf), jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # flat-input indexing includes the 2 scalar-prefetch operands
+        input_output_aliases={7: 0},
         interpret=_interpret(),
-    )(tile_start, tile_count, attr, dpix_t, cfg_t, tfin_t, bg_t)[0]
-
-    # slots in chunks the kernel never visited hold uninitialized memory:
-    # mask to the processed (chunk-rounded) prefix of every tile's range
-    processed = ((tile_count + k - 1) // k) * k                  # [NT]
-    s = jnp.arange(mi_pad, dtype=jnp.int32)
-    tile_of = jnp.clip(
-        jnp.searchsorted(tile_start, s, side="right") - 1, 0, nt - 1)
-    valid = ((s - tile_start[tile_of]) < processed[tile_of]).astype(f32)
-    grads = grads * valid[None, :]
+    )(bins.tile_start, tile_count, bins.attr, dpix_t, cfg_t, tfin_t, bg_t,
+      gzero)[0]
 
     return InstanceGrads(
         d_rgb=grads[0:3].T,
