@@ -93,6 +93,17 @@ class Evaluator:
             points, nets, self.mcfg, self.scene.fstatic)
         render = self._render_fn(cam0.width, cam0.height,
                                  self.mcfg.sh_degree, require_segment)
+        # auto-size the instance capacity to this scene/checkpoint: the
+        # static sort/scan cost scales with capacity, so probe one frame
+        # and re-jit at a snug power of two
+        probe, _ = render(cam0.raster_params(), jnp.float32(cam0.timestamp),
+                          points, nets, alive, feat)
+        need = int(probe.num_instances) + int(probe.num_dropped)
+        cap = 1 << max(int(need * 1.3) - 1, 1).bit_length()
+        if cap != self.rcfg.max_instances:
+            self.rcfg = self.rcfg._replace(max_instances=cap)
+            render = self._render_fn(cam0.width, cam0.height,
+                                     self.mcfg.sh_degree, require_segment)
 
         from .train import lpips as lpips_mod
         use_lpips = lpips_mod.lpips_available("alex")

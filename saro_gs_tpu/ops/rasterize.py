@@ -49,6 +49,7 @@ class RenderOutput(NamedTuple):
     final_t: jnp.ndarray     # [H, W]
     n_contrib: jnp.ndarray   # [H, W] int32
     num_dropped: jnp.ndarray  # [] int32 — instances beyond capacity
+    num_instances: jnp.ndarray  # [] int32 — instances actually emitted
 
 
 def _forward(statics, means3d, scales, quats, opacities, shs, colors_precomp,
@@ -85,7 +86,8 @@ def _rasterize(statics, means3d, scales, quats, opacities, shs,
                               shs, colors_precomp, cam, bg, active)
     return RenderOutput(color=fwd.color, depth=fwd.depth, radii=pre.radii,
                         final_t=fwd.final_t, n_contrib=fwd.n_contrib,
-                        num_dropped=bins.num_dropped)
+                        num_dropped=bins.num_dropped,
+                        num_instances=bins.num_instances)
 
 
 def _rasterize_fwd(statics, means3d, scales, quats, opacities, shs,
@@ -94,7 +96,8 @@ def _rasterize_fwd(statics, means3d, scales, quats, opacities, shs,
                               shs, colors_precomp, cam, bg, active)
     out = RenderOutput(color=fwd.color, depth=fwd.depth, radii=pre.radii,
                        final_t=fwd.final_t, n_contrib=fwd.n_contrib,
-                       num_dropped=bins.num_dropped)
+                       num_dropped=bins.num_dropped,
+                       num_instances=bins.num_instances)
     res = (means3d, scales, quats, opacities, shs, colors_precomp, cam, bg,
            active, pre, bins, fwd)
     return out, res

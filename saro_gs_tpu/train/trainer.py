@@ -97,21 +97,24 @@ class Trainer:
             cfg_lrs=step.make_lr_statics(self.cfg),
             extent=self.scene.cameras_extent)
 
-    @functools.partial(jax.jit, static_argnames=("self", "stage",
+    @functools.partial(jax.jit, static_argnames=("self", "st", "stage",
                                                  "sh_degree",
                                                  "scale_integral"))
     def _train_step(self, state: TrainState, cams: CameraParams,
                     gt: jnp.ndarray, timestamps: jnp.ndarray, *,
-                    stage: str, sh_degree: int, scale_integral: bool):
+                    st: step.StepStatics, stage: str, sh_degree: int,
+                    scale_integral: bool):
+        # ``st`` is passed explicitly (not via self) so mutating
+        # self.rcfg — e.g. instance-capacity growth — re-traces
         if self.cfg.mesh_data > 1:
             from ..parallel import shard
             return shard.dp_train_step(
                 state, cams, gt, timestamps, self.bg, self.scene.fstatic,
-                self._statics(), stage=stage, sh_degree=sh_degree,
+                st, stage=stage, sh_degree=sh_degree,
                 scale_integral=scale_integral, n_data=self.cfg.mesh_data)
         return step.train_step_core(
             state, cams, gt, timestamps, self.bg, self.scene.fstatic,
-            self._statics(), stage=stage, sh_degree=sh_degree,
+            st, stage=stage, sh_degree=sh_degree,
             scale_integral=scale_integral)
 
     @functools.partial(jax.jit, static_argnames=("self", "use_integral"))
@@ -257,8 +260,8 @@ class Trainer:
             self.state, metrics = self._train_step(
                 self.state, jax.tree_util.tree_map(jnp.asarray, batch.cams),
                 jnp.asarray(batch.gt), jnp.asarray(batch.timestamps),
-                stage=stage, sh_degree=self.active_sh_degree,
-                scale_integral=scale_int)
+                st=self._statics(), stage=stage,
+                sh_degree=self.active_sh_degree, scale_integral=scale_int)
 
             if cfg.profile_dir and it == cfg.profile_iters[1]:
                 jax.block_until_ready(self.state.points.xyz)
@@ -276,8 +279,13 @@ class Trainer:
             self._density_control(it, stage)
 
             if int(metrics["dropped"]) > 0:
+                # overflow: double the instance capacity and re-jit (the
+                # dropped-instance frame trains on a truncated tail once)
+                self.rcfg = self.rcfg._replace(
+                    max_instances=self.rcfg.max_instances * 2)
                 print(f"[warn] it {it}: {int(metrics['dropped'])} instances "
-                      f"dropped (raise max_instances)")
+                      f"dropped — max_instances -> "
+                      f"{self.rcfg.max_instances}")
             if it % log_every == 0 or it == 1:
                 rec = {"it": it, "stage": stage,
                        "loss": float(metrics["loss"]),

@@ -82,9 +82,9 @@ def test_dp_train_step_matches_single(rng, tmp_path):
     batch = next(iter(loader))
     args = (jax.tree_util.tree_map(jnp.asarray, batch.cams),
             jnp.asarray(batch.gt), jnp.asarray(batch.timestamps))
-    s1, m1 = tr1._train_step(tr1.state, *args, stage="dynamatic",
+    s1, m1 = tr1._train_step(tr1.state, *args, st=tr1._statics(), stage="dynamatic",
                              sh_degree=1, scale_integral=True)
-    s4, m4 = tr4._train_step(tr4.state, *args, stage="dynamatic",
+    s4, m4 = tr4._train_step(tr4.state, *args, st=tr4._statics(), stage="dynamatic",
                              sh_degree=1, scale_integral=True)
     np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]),
                                rtol=1e-5)
@@ -95,3 +95,18 @@ def test_dp_train_step_matches_single(rng, tmp_path):
     ga = np.asarray(s1.aux.xyz_grad_accum)
     gb = np.asarray(s4.aux.xyz_grad_accum)
     np.testing.assert_allclose(ga, gb, rtol=1e-3, atol=1e-7)
+
+
+def test_runtime_helpers():
+    from saro_gs_tpu.parallel import runtime
+    assert runtime.init_distributed() == 0
+    # round-robin host shard is identity on a single process
+    assert runtime.host_shard([1, 2, 3]) == [1, 2, 3]
+    assert runtime.host_shard([1, 2, 3, 4], process_index=1,
+                              process_count=2) == [2, 4]
+    mesh = runtime.global_mesh(n_data=4, n_tile=2)
+    assert mesh.shape == {"data": 4, "tile": 2}
+    import numpy as np
+    batch = {"x": np.ones((8, 3))}
+    out = runtime.make_global_batch(runtime.global_mesh(n_data=8), batch)
+    assert out["x"].shape == (8, 3)
