@@ -131,21 +131,20 @@ class StagedBins(NamedTuple):
     num_dropped: jnp.ndarray
 
 
-def _ffill(flag, istack, fstack):
+def _ffill(flag, vals):
     """Segmented forward-fill: every unfilled slot takes the most recent
-    filled value to its left.  One associative scan over (flag [MI],
-    istack [Ri, MI] i32, fstack [Rf, MI] f32) — O(MI log MI)
-    sequential-friendly 2D slices instead of a random gather (profiled
-    ~13x cheaper on TPU)."""
+    filled value to its left.  One associative scan over (flag, *vals) —
+    O(MI log MI) sequential-friendly traffic instead of a random gather
+    (profiled ~13x cheaper on TPU; the per-channel 1-D tuple form beats a
+    stacked-2D scan, 14.2 vs 11.6 FPS end-to-end)."""
     def combine(a, b):
-        af, ai, av = a
-        bf, bi, bv = b
-        sel = bf > 0
-        return (jnp.maximum(af, bf), jnp.where(sel, bi, ai),
-                jnp.where(sel, bv, av))
-    out = jax.lax.associative_scan(
-        combine, (flag[None, :], istack, fstack), axis=-1)
-    return out[1], out[2]
+        af, avs = a[0], a[1:]
+        bf, bvs = b[0], b[1:]
+        keep_b = bf > 0
+        return (jnp.maximum(af, bf),) + tuple(
+            jnp.where(keep_b, bv, av) for av, bv in zip(avs, bvs))
+    out = jax.lax.associative_scan(combine, (flag,) + tuple(vals), axis=0)
+    return out[1:]
 
 
 def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
@@ -189,18 +188,17 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
     offsets = jnp.cumsum(tiles_s) - tiles_s
     total = offsets[-1] + tiles_s[-1] if n > 0 else jnp.int32(0)
 
-    # scatter every depth-ranked gaussian's full row to its first instance
-    # slot (ONE multi-row scatter), then segmented-forward-fill
+    # scatter each depth-ranked gaussian's row to its first instance slot,
+    # then segmented-forward-fill
     idx = jnp.where(tiles_s > 0, jnp.minimum(offsets, mi - 1), mi)
-    istack = jnp.stack((meta_s, offsets, gid_s), axis=0)     # [3, N] i32
-    fstack = jnp.stack(chans_s, axis=0)                      # [10, N] f32
-    iseeds = jnp.zeros((3, mi), jnp.int32).at[:, idx].set(istack,
-                                                          mode="drop")
-    fseeds = jnp.zeros((10, mi), f32).at[:, idx].set(fstack, mode="drop")
+
+    def scat(x, fill=0):
+        return jnp.full((mi,), fill, x.dtype).at[idx].set(x, mode="drop")
     flag = jnp.zeros((mi,), jnp.int32).at[idx].set(1, mode="drop")
-    ifill, ffill_vals = _ffill(flag, iseeds, fseeds)
-    meta_i, off_i, gid_i = ifill[0], ifill[1], ifill[2]
-    chans_i = tuple(ffill_vals)
+    filled = _ffill(flag, [scat(meta_s), scat(offsets), scat(gid_s, -1)]
+                    + [scat(c) for c in chans_s])
+    meta_i, off_i, gid_i = filled[0], filled[1], filled[2]
+    chans_i = tuple(filled[3:])
 
     inst = jnp.arange(mi, dtype=jnp.int32)
     local = inst - off_i

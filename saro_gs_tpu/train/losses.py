@@ -23,6 +23,11 @@ def l2_loss(x, y):
     return ((x - y) ** 2).mean()
 
 
+def rel_loss(x, y):
+    """Relative L1 (utils/loss_utils.py:24-25)."""
+    return jnp.abs((x - y) / (y + 0.001)).mean()
+
+
 def psnr(img, gt):
     """Per-channel MSE -> PSNR, averaged (utils/image_utils.py:17-21 +
     ``.mean()`` at call sites)."""
@@ -71,6 +76,11 @@ def ssim(img1, img2):
     """Windowed SSIM with the reference's 11x11 sigma-1.5 kernel and SAME
     padding (utils/loss_utils.py:38-68)."""
     return _ssim_stats(img1, img2, _WINDOW)[0].mean()
+
+
+def ssim_map(img1, img2):
+    """Per-pixel SSIM map (utils/loss_utils.ssimmap:71-101)."""
+    return _ssim_stats(img1, img2, _WINDOW)[0]
 
 
 _MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)

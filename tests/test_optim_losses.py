@@ -137,3 +137,17 @@ def test_composite_loss(rng):
               + 1e-4 * (1 - float(jnp.std(t_centers)))
               + 8e-6 * float(jnp.linalg.norm(sres.reshape(-1))))
     np.testing.assert_allclose(float(loss), expect, rtol=1e-5)
+
+
+def test_rel_loss_and_ssim_map(rng):
+    import jax.numpy as jnp
+    from saro_gs_tpu.train import losses
+    x = jnp.asarray(rng.rand(3, 16, 16).astype(np.float32))
+    y = jnp.asarray(rng.rand(3, 16, 16).astype(np.float32))
+    ref = np.abs((np.asarray(x) - np.asarray(y))
+                 / (np.asarray(y) + 0.001)).mean()
+    assert float(losses.rel_loss(x, y)) == pytest.approx(float(ref), rel=1e-6)
+    m = losses.ssim_map(x, y)
+    assert m.shape == x.shape
+    assert float(m.mean()) == pytest.approx(float(losses.ssim(x, y)),
+                                            rel=1e-6)
