@@ -149,7 +149,8 @@ def _ffill(flag, vals):
 
 def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
                          grid_x: int, grid_y: int, max_instances: int,
-                         chunk: int) -> StagedBins:
+                         chunk: int, tile_x: int = 0, tile_y: int = 0,
+                         corner_cull: bool = True) -> StagedBins:
     """Gather-free binning for the Pallas fast path.
 
     The profile showed XLA gathers (table[ids] staging at instance
@@ -209,6 +210,29 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
     ty = rminy + local // rw_i
     tile_id = ty * grid_x + tx
     valid = (inst < jnp.minimum(total, mi)) & (flag.cumsum() > 0)
+
+    if corner_cull and tile_x > 0:
+        # drop instances whose max alpha anywhere in the tile is < 1/255 —
+        # they contribute exactly zero (the compositor's cutoff), so
+        # outputs are bit-identical; the rect test alone keeps corner
+        # tiles the 3-sigma ellipse never reaches.  Bound: power(q) =
+        # -0.5 q^T C q <= -0.5 lam_min(C) |q|^2 with |q| >= dist(mean,
+        # tile rect).
+        mx, my = chans_i[0], chans_i[1]
+        ca, cb, cc = chans_i[2], chans_i[3], chans_i[4]
+        px0 = (tx * tile_x).astype(f32)
+        py0 = (ty * tile_y).astype(f32)
+        ddx = jnp.maximum(jnp.maximum(px0 - mx,
+                                      mx - (px0 + tile_x - 1)), 0.0)
+        ddy = jnp.maximum(jnp.maximum(py0 - my,
+                                      my - (py0 + tile_y - 1)), 0.0)
+        lam_min = 0.5 * (ca + cc) - jnp.sqrt(
+            0.25 * (ca - cc) ** 2 + cb * cb + 1e-20)
+        power_bound = -0.5 * jnp.maximum(lam_min, 0.0) * \
+            (ddx * ddx + ddy * ddy)
+        keep = chans_i[5] * jnp.exp(power_bound) >= (1.0 / 255.0)
+        valid = valid & keep
+
     tile_id = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
     # culled/padding instances must never composite: zero their opacity
     opac_i = jnp.where(valid, chans_i[5], 0.0)

@@ -48,18 +48,31 @@ def mark_visible(means3d: jnp.ndarray, cam: CameraParams) -> jnp.ndarray:
 
 
 def get_rect(point_image: jnp.ndarray, radius: jnp.ndarray,
-             grid_x: int, grid_y: int, tile_x: int, tile_y: int):
-    """Tile rectangle covered by a splat (auxiliary.h:46-56).
+             grid_x: int, grid_y: int, tile_x: int, tile_y: int,
+             radius_y: jnp.ndarray = None):
+    """Tile rectangle covered by a splat (auxiliary.h:46-56), optionally
+    with distinct per-axis radii.
 
     C truncation-toward-zero on possibly-negative operands is made irrelevant
     by the outer max(0, .) exactly as in the reference.
     """
     p_x, p_y = point_image[..., 0], point_image[..., 1]
     r = radius.astype(point_image.dtype)
+    ry = r if radius_y is None else radius_y.astype(point_image.dtype)
+    if radius_y is None:
+        # reference formula verbatim; its `(p+r+B-1)/B` ceiling assumes
+        # enough slack in r (3-sigma vs the 3.33-sigma cutoff) and can
+        # exclude a boundary tile for fractional p
+        max_x = jnp.floor((p_x + r + tile_x - 1) / tile_x)
+        max_y = jnp.floor((p_y + ry + tile_y - 1) / tile_y)
+    else:
+        # exact coverage: the last tile containing a pixel <= p + r
+        max_x = jnp.floor((p_x + r) / tile_x) + 1
+        max_y = jnp.floor((p_y + ry) / tile_y) + 1
     rect_min_x = jnp.clip(jnp.floor((p_x - r) / tile_x), 0, grid_x).astype(jnp.int32)
-    rect_min_y = jnp.clip(jnp.floor((p_y - r) / tile_y), 0, grid_y).astype(jnp.int32)
-    rect_max_x = jnp.clip(jnp.floor((p_x + r + tile_x - 1) / tile_x), 0, grid_x).astype(jnp.int32)
-    rect_max_y = jnp.clip(jnp.floor((p_y + r + tile_y - 1) / tile_y), 0, grid_y).astype(jnp.int32)
+    rect_min_y = jnp.clip(jnp.floor((p_y - ry) / tile_y), 0, grid_y).astype(jnp.int32)
+    rect_max_x = jnp.clip(max_x, 0, grid_x).astype(jnp.int32)
+    rect_max_y = jnp.clip(max_y, 0, grid_y).astype(jnp.int32)
     return (jnp.stack([rect_min_x, rect_min_y], -1),
             jnp.stack([rect_max_x, rect_max_y], -1))
 
@@ -77,7 +90,8 @@ def preprocess(means3d: jnp.ndarray,
                shs: Optional[jnp.ndarray] = None,
                colors_precomp: Optional[jnp.ndarray] = None,
                scale_modifier: float = 1.0,
-               active: Optional[jnp.ndarray] = None) -> PreprocessOut:
+               active: Optional[jnp.ndarray] = None,
+               tight_rect: bool = False) -> PreprocessOut:
     """Vectorized preprocess of N Gaussians for one camera.
 
     ``active`` masks out dead capacity-padding slots (treated as culled).
@@ -112,8 +126,25 @@ def preprocess(means3d: jnp.ndarray,
 
     mean2d = jnp.stack([math3d.ndc2pix(p_proj[..., 0], width),
                         math3d.ndc2pix(p_proj[..., 1], height)], axis=-1)
-    rect_min, rect_max = get_rect(mean2d, radius_f, grid_x, grid_y,
-                                  tile_x, tile_y)
+    if tight_rect:
+        # exact per-axis extents of the alpha >= 1/255 level set (the
+        # compositor's cutoff): |x| <= sqrt(2 ln(255 o) * Sigma_xx).
+        # Intersected with the reference's 3-sigma circle, so the covered
+        # tile set is a subset of the reference's with identical rendered
+        # output — pixels outside the level set contribute exactly zero
+        # (forward.cu:341 drops alpha < 1/255).  This is the dominant
+        # instance-count (and therefore sort/scan capacity) reducer.
+        s = 2.0 * jnp.log(jnp.maximum(opacities.reshape(-1), 1e-30) * 255.0)
+        s = jnp.maximum(s, 0.0)
+        rx = jnp.minimum(radius_f, jnp.ceil(
+            jnp.sqrt(s * jnp.maximum(a, 0.0))))
+        ry = jnp.minimum(radius_f, jnp.ceil(
+            jnp.sqrt(s * jnp.maximum(c, 0.0))))
+        rect_min, rect_max = get_rect(mean2d, rx, grid_x, grid_y,
+                                      tile_x, tile_y, radius_y=ry)
+    else:
+        rect_min, rect_max = get_rect(mean2d, radius_f, grid_x, grid_y,
+                                      tile_x, tile_y)
     tiles = ((rect_max[..., 1] - rect_min[..., 1]) *
              (rect_max[..., 0] - rect_min[..., 0])).astype(jnp.int32)
 

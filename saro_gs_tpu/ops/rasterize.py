@@ -40,6 +40,11 @@ class RasterConfig(NamedTuple):
     max_instances: int = 1 << 18
     max_slots: int = 1024      # per-tile instance cap for the pure-JAX path
     backend: str = "jax"       # "jax" | "pallas"
+    # exact opacity-aware per-axis tile rects (subset of the reference's
+    # 3-sigma circle; rendered output identical, far fewer instances).
+    # False reproduces the reference's instance sets exactly (n_contrib
+    # slot indices included) for oracle parity.
+    tight_rect: bool = True
 
 
 class RenderOutput(NamedTuple):
@@ -58,14 +63,17 @@ def _forward(statics, means3d, scales, quats, opacities, shs, colors_precomp,
     pre = projection.preprocess(
         means3d, scales, quats, opacities, cam, width, height,
         cfg.tile_x, cfg.tile_y, sh_degree=sh_degree, shs=shs,
-        colors_precomp=colors_precomp, active=active)
+        colors_precomp=colors_precomp, active=active,
+        tight_rect=cfg.tight_rect)
     grid_x = (width + cfg.tile_x - 1) // cfg.tile_x
     grid_y = (height + cfg.tile_y - 1) // cfg.tile_y
     opac = opacities.reshape(-1)
     if cfg.backend == "pallas":
         from . import tile_kernels
-        bins = binning.bin_gaussians_staged(pre, opac, grid_x, grid_y,
-                                            cfg.max_instances, cfg.chunk)
+        bins = binning.bin_gaussians_staged(
+            pre, opac, grid_x, grid_y, cfg.max_instances, cfg.chunk,
+            tile_x=cfg.tile_x, tile_y=cfg.tile_y,
+            corner_cull=cfg.tight_rect)
         fwd = tile_kernels.forward_tiles_pallas(
             bins, bg, width, height, cfg.tile_x, cfg.tile_y, cfg.chunk)
     else:

@@ -7,7 +7,7 @@ from saro_gs_tpu.ops.rasterize import RasterConfig, rasterize
 from tests.scene_fixtures import make_camera, make_gaussians
 
 CFG_JAX = RasterConfig(tile_x=16, tile_y=16, chunk=128, max_instances=4096,
-                       max_slots=256, backend="jax")
+                       max_slots=256, backend="jax", tight_rect=False)
 CFG_PALLAS = CFG_JAX._replace(backend="pallas")
 
 
@@ -60,3 +60,45 @@ def test_pallas_backward_matches_jax(rng):
         scale = np.abs(x).max() + 1e-6
         err = np.abs(x - y).max() / scale
         assert err < 1e-3, f"{name}: rel err {err}"
+
+
+def test_tight_rect_is_exact(rng):
+    """Opacity-aware per-axis rects + corner culling drop only
+    zero-contribution instances: rendered output and gradients are
+    identical to the reference 3-sigma-circle rects."""
+    cam, meta = make_camera()
+    means, scales, quats, opac, shs = make_gaussians(rng, n=40)
+    # include low-opacity splats where the tight rect shrinks hard
+    opac = opac.copy()
+    opac[::3] = 0.02
+    opac[::7] = 0.003  # below 1/255: culled entirely, contributes nothing
+    bg = np.array([0.2, 0.1, 0.4], np.float32)
+    loose = CFG_PALLAS
+    tight = CFG_PALLAS._replace(tight_rect=True)
+    a = _render(loose, cam, meta, means, scales, quats, opac, shs, bg)
+    b = _render(tight, cam, meta, means, scales, quats, opac, shs, bg)
+    np.testing.assert_allclose(np.asarray(b.color), np.asarray(a.color),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.depth), np.asarray(a.depth),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.final_t), np.asarray(a.final_t),
+                               atol=1e-6)
+    assert int(b.num_instances) < int(a.num_instances)
+
+    w, h = meta["width"], meta["height"]
+    d_color = jnp.asarray(rng.normal(0, 1, (3, h, w)).astype(np.float32))
+
+    def make_loss(cfg):
+        def loss(m, s, q, o, sh_):
+            out = rasterize(m, s, q, o, cam, jnp.asarray(bg), width=w,
+                            height=h, sh_degree=3, config=cfg, shs=sh_)
+            return jnp.sum(out.color * d_color)
+        return loss
+
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(shs))
+    ga = jax.grad(make_loss(loose), argnums=tuple(range(5)))(*args)
+    gb = jax.grad(make_loss(tight), argnums=tuple(range(5)))(*args)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=1e-5, atol=1e-7)

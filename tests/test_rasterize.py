@@ -14,7 +14,7 @@ from saro_gs_tpu.ops.rasterize import RasterConfig, rasterize
 from tests.oracle import raster_oracle as oracle
 from tests.scene_fixtures import make_camera, make_gaussians
 
-CFG = RasterConfig(tile_x=16, tile_y=16, chunk=8, max_instances=4096,
+CFG = RasterConfig(tile_x=16, tile_y=16, chunk=8, max_instances=4096, tight_rect=False,
                    max_slots=128)
 
 
