@@ -140,8 +140,16 @@ def preprocess(means3d: jnp.ndarray,
             jnp.sqrt(s * jnp.maximum(a, 0.0))))
         ry = jnp.minimum(radius_f, jnp.ceil(
             jnp.sqrt(s * jnp.maximum(c, 0.0))))
-        rect_min, rect_max = get_rect(mean2d, rx, grid_x, grid_y,
-                                      tile_x, tile_y, radius_y=ry)
+        tmin, tmax = get_rect(mean2d, rx, grid_x, grid_y,
+                              tile_x, tile_y, radius_y=ry)
+        # intersect with the reference rect: its `(p+r+B-1)/B` ceiling
+        # under-covers boundary tiles for fractional centers (a reference
+        # quirk, auxiliary.h:46-56) — staying a subset keeps outputs
+        # bit-identical to the reference semantics
+        rmin, rmax = get_rect(mean2d, radius_f, grid_x, grid_y,
+                              tile_x, tile_y)
+        rect_min = jnp.maximum(tmin, rmin)
+        rect_max = jnp.maximum(jnp.minimum(tmax, rmax), rect_min)
     else:
         rect_min, rect_max = get_rect(mean2d, radius_f, grid_x, grid_y,
                                       tile_x, tile_y)
