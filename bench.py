@@ -44,14 +44,16 @@ def main():
         scaling=jnp.asarray(np.log(rng.uniform(0.003, 0.02, (n, 3))),
                             jnp.float32))
     cam = _camera(width, height)
-    # capacity right-sized to the scene: ~658k instances at these splat
-    # stats (profiled); static sort/scatter cost scales with capacity
+    # capacity right-sized to the scene: ~410k instances at these splat
+    # stats with tight rects (profiled); static sort/scan cost scales
+    # with capacity (need not be a power of two)
     rcfg = RasterConfig(tile_x=32, tile_y=32, chunk=128,
-                        max_instances=1 << 20,
+                        max_instances=576 * 1024,
                         backend="pallas" if on_tpu else "jax",
                         max_slots=512)
     bg = jnp.zeros(3)
-    feat = gm.field_feat(params, nets, cfg, fstatic)
+    feat = jax.jit(gm.field_feat, static_argnames=("cfg",))(
+        params, nets, cfg, fstatic)
 
     @jax.jit
     def render(ts, feat):
