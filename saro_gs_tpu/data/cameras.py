@@ -84,6 +84,33 @@ class Camera:
         self._image = img
 
 
+@dataclasses.dataclass
+class MiniCam:
+    """Viewer-style camera carrying precomputed matrices only
+    (scene/cameras.py:114-126)."""
+    width: int
+    height: int
+    fovx: float
+    fovy: float
+    znear: float
+    zfar: float
+    world_view: np.ndarray
+    full_proj: np.ndarray
+    timestamp: float = 0.0
+
+    def __post_init__(self):
+        inv = np.linalg.inv(self.world_view.astype(np.float64))
+        self.camera_center = inv[3, :3].astype(np.float32)
+
+    def raster_params(self) -> CameraParams:
+        return CameraParams(
+            viewmat=self.world_view.astype(np.float32),
+            projmat=self.full_proj.astype(np.float32),
+            campos=self.camera_center,
+            tanfovx=np.float32(math.tan(self.fovx * 0.5)),
+            tanfovy=np.float32(math.tan(self.fovy * 0.5)))
+
+
 def resolution_policy(orig_w: int, orig_h: int, resolution: int,
                       resolution_scale: float = 1.0) -> Tuple[int, int]:
     """The reference's resolution policy (utils/camera_utils.py:73-95):

@@ -179,9 +179,14 @@ def extract_frames(video_path: str, out_dir: str, start: int, count: int):
           str(start), os.path.join(out_dir, "%d.png")])
 
 
-def run_colmap_frame(scene_dir: str, offset: int):
-    """The reference's per-frame COLMAP invocation sequence
-    (helper3dg.getcolmapsinglen3d:147-208)."""
+def run_colmap_frame(scene_dir: str, offset: int, mode: str = "n3d",
+                     max_image_size: int = 0):
+    """Per-frame COLMAP invocation sequences.
+
+    ``mode``: "n3d" = known-pose triangulation + undistort
+    (helper3dg.getcolmapsinglen3d:147-208); "undistort" adds a
+    SiftExtraction.max_image_size cap (getcolmapsingleimundistort:210-275);
+    "distort" skips the undistortion step (getcolmapsingleimdistort:276)."""
     _require("colmap")
     folder = os.path.join(scene_dir, f"colmap_{offset}")
     db = os.path.join(folder, "input.db")
@@ -189,13 +194,23 @@ def run_colmap_frame(scene_dir: str, offset: int):
     manual = os.path.join(folder, "manual")
     distorted = os.path.join(folder, "distorted", "sparse")
     os.makedirs(distorted, exist_ok=True)
-    _run(["colmap", "feature_extractor", "--database_path", db,
-          "--image_path", inp])
+    extract = ["colmap", "feature_extractor", "--database_path", db,
+               "--image_path", inp]
+    if mode == "undistort" or max_image_size:
+        extract += ["--SiftExtraction.max_image_size",
+                    str(max_image_size or 6000)]
+    _run(extract)
     _run(["colmap", "exhaustive_matcher", "--database_path", db])
     _run(["colmap", "point_triangulator", "--database_path", db,
           "--image_path", inp, "--output_path", distorted,
           "--input_path", manual,
           "--Mapper.ba_global_function_tolerance=0.000001"])
+    if mode == "distort":
+        sparse0 = os.path.join(folder, "sparse", "0")
+        os.makedirs(sparse0, exist_ok=True)
+        for f in os.listdir(distorted):
+            shutil.copy(os.path.join(distorted, f), os.path.join(sparse0, f))
+        return
     _run(["colmap", "image_undistorter", "--image_path", inp,
           "--input_path", distorted, "--output_path", folder,
           "--output_type", "COLMAP"])

@@ -196,3 +196,17 @@ class TestMarkVisible:
                            [0.0, 0.0, -10.0]])  # behind
         vis = mark_visible(pts, cam)
         assert vis.tolist() == [True, False, False]
+
+
+def test_minicam_matches_camera():
+    import math
+    from saro_gs_tpu.data.cameras import Camera, MiniCam
+    cam = Camera(uid=0, R=np.eye(3), T=np.array([0.0, 0.0, 4.0]),
+                 fovx=1.0, fovy=0.8, width=64, height=48, timestamp=0.3)
+    mini = MiniCam(width=64, height=48, fovx=1.0, fovy=0.8, znear=0.01,
+                   zfar=100.0, world_view=cam.world_view,
+                   full_proj=cam.full_proj, timestamp=0.3)
+    a, b = cam.raster_params(), mini.raster_params()
+    np.testing.assert_allclose(a.viewmat, b.viewmat)
+    np.testing.assert_allclose(a.projmat, b.projmat)
+    np.testing.assert_allclose(a.campos, b.campos, atol=1e-6)
