@@ -33,9 +33,10 @@ def train_render(cam: CameraParams, timestamp,
                  fstatic: FieldStatic, bg: jnp.ndarray, *,
                  width: int, height: int, stage: str, sh_degree: int,
                  rcfg: RasterConfig,
-                 mean2d_dummy: Optional[jnp.ndarray] = None) -> RenderPackage:
+                 mean2d_dummy: Optional[jnp.ndarray] = None,
+                 feat: Optional[jnp.ndarray] = None) -> RenderPackage:
     if stage == "dynamatic":
-        d = gm.deform(params, nets, mcfg, fstatic, timestamp)
+        d = gm.deform(params, nets, mcfg, fstatic, timestamp, feat=feat)
         out = rasterize(d.xyz, d.scaling, d.rotation, d.opacity.reshape(-1),
                         cam, bg, width=width, height=height,
                         sh_degree=sh_degree, config=rcfg, shs=d.shs,

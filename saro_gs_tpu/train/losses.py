@@ -36,26 +36,32 @@ def psnr(img, gt):
     return (20.0 * jnp.log10(1.0 / jnp.sqrt(mse))).mean()
 
 
-def _gaussian_window(window_size=11, sigma=1.5):
+def _gaussian_taps(window_size=11, sigma=1.5):
     g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2)
                / (2 * sigma ** 2))
     g = g / g.sum()
-    w2 = np.outer(g, g).astype(np.float32)
-    return jnp.asarray(w2)
+    return tuple(float(v) for v in g.astype(np.float32))
 
 
-_WINDOW = _gaussian_window()
+_WINDOW = _gaussian_taps()
 
 
-def _depthwise_conv(img, window):
-    """img [C, H, W], window [k, k] -> same-padded depthwise conv."""
-    c = img.shape[0]
-    k = window.shape[0]
-    kernel = jnp.broadcast_to(window, (c, 1, k, k))
-    return jax.lax.conv_general_dilated(
-        img[None], kernel, (1, 1), [(k // 2, k // 2)] * 2,
-        dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
-        feature_group_count=c)[0]
+def _depthwise_conv(img, taps):
+    """img [C, H, W], separable taps (k,) -> same-padded blur with the
+    outer-product window (== reference's F.conv2d with the 2-D Gaussian
+    window, utils/loss_utils.py:27-36).
+
+    TPU note: an 11x11 grouped conv cannot tile onto the MXU (3-channel
+    depthwise), so we decompose the separable window into two shift-and-add
+    passes — pure VPU elementwise FMAs that XLA fuses into ~one HBM pass
+    each, instead of conv_general_dilated (was 63 ms/view fwd+bwd on v5e)."""
+    k = len(taps)
+    h = k // 2
+    _, height, width = img.shape
+    x = jnp.pad(img, ((0, 0), (h, h), (0, 0)))
+    x = sum(taps[i] * x[:, i:i + height, :] for i in range(k))
+    x = jnp.pad(x, ((0, 0), (0, 0), (h, h)))
+    return sum(taps[i] * x[:, :, i:i + width] for i in range(k))
 
 
 def _ssim_stats(img1, img2, window):

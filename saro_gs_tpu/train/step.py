@@ -55,12 +55,21 @@ def batch_loss_fn(points, nets, m2d, *, cams, gt, timestamps, alive, bg,
     alive_col = alive[:, None]
     batch = gt.shape[0]
 
+    # Field features depend only on (xyz, t_center, scale) — not the view
+    # timestamp (saro_gaussian.py:780) — so sample the hexplane ONCE per
+    # step and share across the view batch.  The grid-sampling backward
+    # (scatter-add into the planes) was the top device op at ~86 ms/view
+    # when recomputed inside the per-view loop.
+    feat = (gm.field_feat(points, nets, mcfg, fstatic)
+            if stage == "dynamatic" else None)
+
     def one_view(i):
         cam = jax.tree_util.tree_map(lambda x: x[i], cams)
         pkg = train_render(
             cam, timestamps[i], points, nets, alive, mcfg, fstatic, bg,
             width=st.width, height=st.height, stage=stage,
-            sh_degree=sh_degree, rcfg=rcfg, mean2d_dummy=m2d[i])
+            sh_degree=sh_degree, rcfg=rcfg, mean2d_dummy=m2d[i],
+            feat=feat)
         d = pkg.deform
         loss, logs = losses.composite_loss(
             weights, pkg.out.color, gt[i],
