@@ -133,18 +133,52 @@ class StagedBins(NamedTuple):
 
 def _ffill(flag, vals):
     """Segmented forward-fill: every unfilled slot takes the most recent
-    filled value to its left.  One associative scan over (flag, *vals) —
-    O(MI log MI) sequential-friendly traffic instead of a random gather
-    (profiled ~13x cheaper on TPU; the per-channel 1-D tuple form beats a
-    stacked-2D scan, 14.2 vs 11.6 FPS end-to-end)."""
+    filled value to its left; slots with no filled value anywhere to the
+    left keep their input value.
+
+    Two-level scheme instead of a flat ``associative_scan`` over MI: XLA
+    lowers a 1-D length-MI scan to ~log2(MI)=20 shift rounds, each a full
+    HBM pass over every channel (~12 ms/frame at 590k x 13 channels).
+    Reshaping to [R, 128] rows gives (a) 7 Hillis-Steele rounds along the
+    row (minor) axis, (b) a scan over the R row-carries (R ~ MI/128, so
+    ~1/128th the traffic), (c) one combine pass — ~3x fewer full passes
+    and far smaller intermediate rounds."""
+    n = flag.shape[0]
+    lanes = 128
+    pad = -n % lanes
+    if pad:
+        flag = jnp.pad(flag, (0, pad))
+        vals = [jnp.pad(v, (0, pad)) for v in vals]
+    rows = flag.shape[0] // lanes
+    f = flag.reshape(rows, lanes)
+    vs = [v.reshape(rows, lanes) for v in vals]
+
+    # (a) within-row inclusive fill along the minor axis
+    k = 1
+    while k < lanes:
+        fs = jnp.pad(f, ((0, 0), (k, 0)))[:, :lanes]
+        take = (f == 0) & (fs > 0)
+        vs = [jnp.where(take, jnp.pad(v, ((0, 0), (k, 0)))[:, :lanes], v)
+              for v in vs]
+        f = jnp.maximum(f, fs)
+        k *= 2
+
+    # (b) exclusive carry across rows (tiny: R elements per channel)
     def combine(a, b):
-        af, avs = a[0], a[1:]
-        bf, bvs = b[0], b[1:]
-        keep_b = bf > 0
-        return (jnp.maximum(af, bf),) + tuple(
-            jnp.where(keep_b, bv, av) for av, bv in zip(avs, bvs))
-    out = jax.lax.associative_scan(combine, (flag,) + tuple(vals), axis=0)
-    return out[1:]
+        keep_b = b[0] > 0
+        return (jnp.maximum(a[0], b[0]),) + tuple(
+            jnp.where(keep_b, bv, av) for av, bv in zip(a[1:], b[1:]))
+    inc = jax.lax.associative_scan(
+        combine, (f[:, -1],) + tuple(v[:, -1] for v in vs), axis=0)
+    cf = jnp.concatenate([jnp.zeros((1,), f.dtype), inc[0][:-1]])[:, None]
+    cvs = [jnp.concatenate([jnp.zeros((1,), v.dtype), o[:-1]])[:, None]
+           for o, v in zip(inc[1:], vs)]
+
+    # (c) rows' unfilled prefixes take the carry
+    take = (f == 0) & (cf > 0)
+    out = [jnp.where(take, c, v).reshape(-1)[:n]
+           for c, v in zip(cvs, vs)]
+    return out
 
 
 def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
