@@ -47,10 +47,12 @@ def main():
     # capacity right-sized to the scene: ~410k instances at these splat
     # stats with tight rects (profiled); static sort/scan cost scales
     # with capacity (need not be a power of two)
-    rcfg = RasterConfig(tile_x=32, tile_y=32, chunk=128,
+    rcfg = RasterConfig(tile_x=32, tile_y=32,
+                        chunk=int(os.environ.get("SARO_BENCH_CHUNK", "128")),
                         max_instances=576 * 1024,
                         backend="pallas" if on_tpu else "jax",
-                        max_slots=512)
+                        max_slots=512,
+                        prefix=os.environ.get("SARO_BENCH_PREFIX", "roll"))
     bg = jnp.zeros(3)
     feat = jax.jit(gm.field_feat, static_argnames=("cfg",))(
         params, nets, cfg, fstatic)

@@ -45,6 +45,10 @@ class RasterConfig(NamedTuple):
     # False reproduces the reference's instance sets exactly (n_contrib
     # slot indices included) for oracle parity.
     tight_rect: bool = True
+    # in-chunk prefix scans inside the pallas kernels: "roll" = log-depth
+    # VPU doubling (exact), "matmul" = one [K,K] MXU matmul (prefix product
+    # via exp∘sum∘log, rel err ~1e-5)
+    prefix: str = "roll"
 
 
 class RenderOutput(NamedTuple):
@@ -75,7 +79,8 @@ def _forward(statics, means3d, scales, quats, opacities, shs, colors_precomp,
             tile_x=cfg.tile_x, tile_y=cfg.tile_y,
             corner_cull=cfg.tight_rect)
         fwd = tile_kernels.forward_tiles_pallas(
-            bins, bg, width, height, cfg.tile_x, cfg.tile_y, cfg.chunk)
+            bins, bg, width, height, cfg.tile_x, cfg.tile_y, cfg.chunk,
+            prefix=cfg.prefix)
     else:
         bins = binning.bin_gaussians(pre, grid_x, grid_y, cfg.max_instances,
                                      cfg.chunk)
@@ -136,11 +141,22 @@ def _rasterize_bwd(statics, res, cot):
 
     if cfg.backend == "pallas":
         from . import tile_kernels
-        inst = tile_kernels.backward_tiles_pallas(
+        g16 = tile_kernels.backward_tiles_pallas(
             bins, bg, fwd.color, fwd.final_t, d_color,
             width, height, cfg.tile_x, cfg.tile_y, cfg.chunk,
-            n_contrib=fwd.n_contrib)
+            n_contrib=fwd.n_contrib, prefix=cfg.prefix)      # [16, MI]
         ids = bins.ids
+        # per-instance -> per-Gaussian: ONE row-window scatter-add over all
+        # grad channels.  The barrier materializes the row-major transpose —
+        # letting XLA fuse it into the scatter selects the serial
+        # per-element emitter (measured 10 ms/view vs ~0.1 ms).
+        rows = jax.lax.optimization_barrier(g16.T)           # [MI, 16]
+        seg = jnp.where(ids >= 0, ids, n).astype(jnp.int32)
+        summed = jax.ops.segment_sum(rows, seg, num_segments=n + 1)[:n]
+        d_rgb = summed[:, 0:3]
+        d_mean2d = summed[:, 3:5]         # NDC-space grads
+        d_conic = summed[:, 5:8]
+        d_opacity_raster = summed[:, 8]
     else:
         inst = compositing.backward_tiles(
             bins.point_list, bins.tile_start, bins.tile_count,
@@ -149,14 +165,14 @@ def _rasterize_bwd(statics, res, cot):
             width, height, cfg.tile_x, cfg.tile_y, cfg.max_slots)
         ids = bins.point_list
 
-    # ---- per-instance -> per-Gaussian (deterministic segment sum) ----------
-    seg = jnp.where(ids >= 0, ids, n).astype(jnp.int32)
-    def seg_sum(x):
-        return jax.ops.segment_sum(x, seg, num_segments=n + 1)[:n]
-    d_rgb = seg_sum(inst.d_rgb)
-    d_mean2d = seg_sum(inst.d_mean2d)     # NDC-space grads
-    d_conic = seg_sum(inst.d_conic)
-    d_opacity_raster = seg_sum(inst.d_opacity)
+        # ---- per-instance -> per-Gaussian (deterministic segment sum) ------
+        seg = jnp.where(ids >= 0, ids, n).astype(jnp.int32)
+        def seg_sum(x):
+            return jax.ops.segment_sum(x, seg, num_segments=n + 1)[:n]
+        d_rgb = seg_sum(inst.d_rgb)
+        d_mean2d = seg_sum(inst.d_mean2d)     # NDC-space grads
+        d_conic = seg_sum(inst.d_conic)
+        d_opacity_raster = seg_sum(inst.d_opacity)
 
     mask = pre.mask
     maskf = mask.astype(means3d.dtype)
