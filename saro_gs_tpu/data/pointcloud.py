@@ -48,24 +48,24 @@ def sparsify(pcd: PointCloud, n: int = 4) -> PointCloud:
     save_rate = 1.0 / n
     times = pcd.times if pcd.times is not None else np.zeros(
         (pcd.points.shape[0], 1))
-    stamps = np.unique(times)
-    keep_masks = []
-    for ti, t in enumerate(stamps):
-        sel = (times == t)[:, 0]
+    # Group rows by timestamp once (O(N log N)) rather than scanning the
+    # whole array per unique stamp — random-time inits (Blender) have ~N
+    # unique stamps and the per-stamp scan is O(N^2).
+    stamps, inverse = np.unique(times[:, 0], return_inverse=True)
+    order = np.argsort(inverse, kind="stable")
+    bounds = np.searchsorted(inverse[order], np.arange(stamps.shape[0] + 1))
+    keep = np.zeros(times.shape[0], bool)
+    for ti in range(stamps.shape[0]):
+        idx = order[bounds[ti]:bounds[ti + 1]]
         if ti == 0:
-            m = np.ones(int(sel.sum()), bool)
-        else:
-            d = _nn_distance(pcd.points[sel])
-            num_take = int(d.shape[0] * save_rate)
-            if num_take <= 0:
-                m = np.zeros(d.shape[0], bool)
-            else:
-                thresh = np.sort(d)[-num_take]
-                m = d > thresh
-        keep = np.zeros(times.shape[0], bool)
-        keep[np.nonzero(sel)[0][m]] = True
-        keep_masks.append(keep)
-    keep = np.logical_or.reduce(keep_masks)
+            keep[idx] = True
+            continue
+        num_take = int(idx.shape[0] * save_rate)
+        if num_take <= 0:
+            continue
+        d = _nn_distance(pcd.points[idx])
+        thresh = np.sort(d)[-num_take]
+        keep[idx[d > thresh]] = True
     return PointCloud(points=pcd.points[keep], colors=pcd.colors[keep],
                       times=times[keep])
 

@@ -117,6 +117,47 @@ def field_features(grids, cfg: FieldConfig, static: FieldStatic,
     return jnp.concatenate(outs, axis=-1)
 
 
+def convert_coarse_to_fine(cfg: FieldConfig, static: FieldStatic,
+                           old_grids, old_static: FieldStatic):
+    """Warm-start this field's planes from a coarser field.
+
+    Reproduces ``ScaleAwareResField.convert_coarse_to_fine``
+    (scene/hexplane.py:279-309): for every plane, build the target grid's
+    sample coordinates, map them through the OLD field's aabb into its
+    normalized frame, and nearest-sample (align_corners) the old plane.
+    The time axis always spans the full old range.  Returns new grids
+    shaped per ``init_field(cfg)``.
+    """
+    new_grids = []
+    for mi_idx, m in enumerate(cfg.multires):
+        reso = cfg.reso(m)
+        planes = []
+        for ci, (a, b) in enumerate(COMBS):
+            old = old_grids[mi_idx][ci]          # [C, Ho, Wo]
+            h, w = reso[b], reso[a]
+
+            def axis_coords(axis, n):
+                # new aabb endpoints in the old aabb's [0, 1] frame
+                if axis == 3:
+                    lo, hi = 0.0, 1.0
+                else:
+                    olo = old_static.aabb_min[axis]
+                    ohi = old_static.aabb_max[axis]
+                    lo = (static.aabb_min[axis] - olo) / (ohi - olo)
+                    hi = (static.aabb_max[axis] - olo) / (ohi - olo)
+                return lo + (hi - lo) * jnp.linspace(0.0, 1.0, n)
+
+            xs = axis_coords(a, w)               # along width
+            ys = axis_coords(b, h)               # along height
+            ho, wo = old.shape[1], old.shape[2]
+            # nearest, align_corners=True: u in [0,1] -> round(u*(n-1))
+            ix = jnp.clip(jnp.round(xs * (wo - 1)), 0, wo - 1).astype(jnp.int32)
+            iy = jnp.clip(jnp.round(ys * (ho - 1)), 0, ho - 1).astype(jnp.int32)
+            planes.append(old[:, iy][:, :, ix])
+        new_grids.append(planes)
+    return new_grids
+
+
 def plane_tv(grids) -> jnp.ndarray:
     """Total variation over the spatial planes (hexplane.py:147-153,311-318).
     """

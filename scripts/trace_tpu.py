@@ -33,9 +33,11 @@ def main():
         scaling=jnp.asarray(np.log(rng.uniform(0.003, 0.02, (n, 3))),
                             jnp.float32))
     cam = _camera(width, height)
-    rcfg = RasterConfig(tile_x=32, tile_y=32, chunk=128,
-                        max_instances=1 << 20, backend="pallas",
-                        max_slots=512)
+    rcfg = RasterConfig(tile_x=32, tile_y=32,
+                        chunk=int(os.environ.get("SARO_BENCH_CHUNK", "128")),
+                        max_instances=576 * 1024, backend="pallas",
+                        max_slots=512,
+                        prefix=os.environ.get("SARO_BENCH_PREFIX", "roll"))
     bg = jnp.zeros(3)
     feat = jax.jit(gm.field_feat, static_argnames=("cfg",))(
         params, nets, cfg, fstatic)

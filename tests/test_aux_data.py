@@ -210,3 +210,37 @@ def test_minicam_matches_camera():
     np.testing.assert_allclose(a.viewmat, b.viewmat)
     np.testing.assert_allclose(a.projmat, b.projmat)
     np.testing.assert_allclose(a.campos, b.campos, atol=1e-6)
+
+
+def test_sparsify_keeps_frame0_and_isolated_points():
+    """sparsify (helper_model.interpolate_point:122-175): frame 0 kept in
+    full; later frames keep the top-1/n most isolated points; many unique
+    timestamps (random-time Blender init) must stay fast."""
+    from saro_gs_tpu.data.pointcloud import PointCloud, sparsify
+
+    rng = np.random.RandomState(0)
+    # frame 0: 10 pts; frame 0.5: 8 clustered + 2 isolated outliers
+    p0 = rng.rand(10, 3)
+    cluster = rng.rand(8, 3) * 0.01
+    outliers = np.array([[5.0, 5.0, 5.0], [-5.0, -5.0, -5.0]])
+    p1 = np.concatenate([cluster, outliers])
+    pts = np.concatenate([p0, p1])
+    t = np.concatenate([np.zeros((10, 1)), np.full((10, 1), 0.5)])
+    out = sparsify(PointCloud(points=pts, colors=np.zeros_like(pts),
+                              times=t), n=5)
+    # all of frame 0 survives; frame 1 keeps 10//5=2 most isolated
+    kept0 = out.points[(out.times == 0.0)[:, 0]]
+    kept1 = out.points[(out.times == 0.5)[:, 0]]
+    np.testing.assert_array_equal(np.sort(kept0, axis=0),
+                                  np.sort(p0, axis=0))
+    assert kept1.shape[0] <= 2
+    assert all(any(np.allclose(k, o) for o in outliers) for k in kept1)
+
+    # pathological: every point its own timestamp — must complete quickly
+    # and keep only frame 0 (groups of 1 keep int(1/5)=0 points)
+    n = 20000
+    pts = rng.rand(n, 3)
+    t2 = np.concatenate([[0.0], rng.rand(n - 1)])[:, None]
+    out2 = sparsify(PointCloud(points=pts, colors=np.zeros_like(pts),
+                               times=t2), n=5)
+    assert out2.points.shape[0] == 1

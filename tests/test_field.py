@@ -189,3 +189,45 @@ def test_deform_shapes_and_static_equivalence(rng):
     # rotation normalized
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(out.rotation), axis=1), 1.0, atol=1e-5)
+
+
+def test_convert_coarse_to_fine(rng):
+    """Resampling a coarse field onto a finer grid (hexplane.py:279-309):
+    same aabb -> nearest upsample; identical reso -> exact copy."""
+    coarse = field_mod.FieldConfig(resolution=(8, 8, 8, 5), out_dim=3,
+                                   multires=(1,))
+    fine = field_mod.FieldConfig(resolution=(16, 16, 16, 5), out_dim=3,
+                                 multires=(1,))
+    st = field_mod.make_static([-1.0] * 3, [1.0] * 3, 10)
+    old = field_mod.init_field(coarse)
+    old = [[jnp.asarray(rng.standard_normal(p.shape), jnp.float32)
+            for p in planes] for planes in old]
+
+    # identical config + aabb: nearest align_corners resample is the identity
+    same = field_mod.convert_coarse_to_fine(coarse, st, old, st)
+    for p_new, p_old in zip(same[0], old[0]):
+        np.testing.assert_array_equal(np.asarray(p_new), np.asarray(p_old))
+
+    new = field_mod.convert_coarse_to_fine(fine, st, old, st)
+    for ci, (a, b) in enumerate(field_mod.COMBS):
+        p = np.asarray(new[0][ci])
+        o = np.asarray(old[0][ci])
+        assert p.shape == (3, fine.reso(1)[b], fine.reso(1)[a])
+        # corners agree under align_corners
+        np.testing.assert_allclose(p[:, 0, 0], o[:, 0, 0])
+        np.testing.assert_allclose(p[:, -1, -1], o[:, -1, -1])
+        # every output value exists in the source plane (nearest sampling)
+        assert np.isin(p.ravel(), o.ravel()).all()
+
+    # shrunk-aabb fine field samples the matching sub-window of the old grid:
+    # the new corner (0,0) sits at 25% of the old frame on spatial axes and
+    # at 0 on the time axis
+    st2 = field_mod.make_static([-0.5] * 3, [0.5] * 3, 10)
+    sub = field_mod.convert_coarse_to_fine(coarse, st2, old, st)
+    for ci, (a, b) in enumerate(field_mod.COMBS):
+        p = np.asarray(sub[0][ci])
+        o = np.asarray(old[0][ci])
+        ho, wo = o.shape[1:]
+        src_y = 0 if b == 3 else int(round(0.25 * (ho - 1)))
+        src_x = 0 if a == 3 else int(round(0.25 * (wo - 1)))
+        np.testing.assert_allclose(p[:, 0, 0], o[:, src_y, src_x], rtol=1e-6)
