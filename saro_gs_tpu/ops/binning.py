@@ -118,13 +118,14 @@ class StagedBins(NamedTuple):
     """Tile-sorted instance table with chunk-ALIGNED per-tile ranges.
 
     ``attr`` rows: x, y, conic_a, conic_b, conic_c, opacity, r, g, b,
-    depth, pad*6 — attribute-major [16, MI + NT*chunk] f32.  Alignment
+    depth, pad*6 — attribute-major [16, N + MI + NT*chunk] f32 (the N
+    merge-spread gaussian rows sort into the dropped tail).  Alignment
     padding consists of synthetic zero-opacity instances that were sorted
     into place (gid -1), so kernels need no edge masking and all window
     offsets are provable multiples of ``chunk``.
     """
-    attr: jnp.ndarray          # [16, MI + NT*chunk] f32
-    ids: jnp.ndarray           # [MI + NT*chunk] int32 gauss ids, -1 padding
+    attr: jnp.ndarray          # [16, N + MI + NT*chunk] f32
+    ids: jnp.ndarray           # [N + MI + NT*chunk] int32 gauss ids, -1 pad
     tile_start: jnp.ndarray    # [NT] int32 (chunk-aligned)
     tile_count: jnp.ndarray    # [NT] int32 (chunk-padded counts)
     num_instances: jnp.ndarray
@@ -192,12 +193,14 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
     fast; so all ten per-instance attributes travel as sort payloads:
 
       1. depth-sort the N gaussians carrying the attributes,
-      2. expand to instances by scattering each gaussian's row to its
-         first instance slot and segmented-forward-filling,
-      3. stable tile-sort the instance table,
-      4. per-tile [start, count) via searchsorted; no chunk-aligned
-         re-layout (kernels read windows at arbitrary offsets and mask
-         edge rows).
+      2. expand to instances by a merge-spread: stable-sort gaussian rows
+         (key = first owned slot) together with the mi slot rows, then
+         segmented-forward-fill (TPU scatters serialize per update; sorts
+         and the two-level fill vectorize),
+      3. stable tile-sort the instance table (gaussian rows carry the
+         sentinel tile and sort to the dropped tail),
+      4. per-tile [start, count) via searchsorted; alignment padding
+         rides the tile sort as synthetic zero-opacity instances.
     """
     num_tiles = grid_x * grid_y
     n = pre.tiles_touched.shape[0]
@@ -206,13 +209,13 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
 
     opacity = opacity.reshape(-1).astype(f32)
     depth_key = jnp.where(pre.mask, pre.depth.astype(f32), jnp.inf)
-    rw = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
-    meta = (pre.rect_min[:, 0] + (pre.rect_min[:, 1] << 11) + (rw << 22))
-    chans = (pre.mean2d[:, 0].astype(f32), pre.mean2d[:, 1].astype(f32),
-             pre.conic[:, 0].astype(f32), pre.conic[:, 1].astype(f32),
-             pre.conic[:, 2].astype(f32), opacity,
-             pre.rgb[:, 0].astype(f32), pre.rgb[:, 1].astype(f32),
-             pre.rgb[:, 2].astype(f32), pre.depth.astype(f32))
+    rw = jnp.maximum(pre.rmax_x - pre.rmin_x, 1)
+    meta = (pre.rmin_x + (pre.rmin_y << 11) + (rw << 22))
+    chans = (pre.mean_x.astype(f32), pre.mean_y.astype(f32),
+             pre.conic_a.astype(f32), pre.conic_b.astype(f32),
+             pre.conic_c.astype(f32), opacity,
+             pre.rgb_r.astype(f32), pre.rgb_g.astype(f32),
+             pre.rgb_b.astype(f32), pre.depth.astype(f32))
 
     sorted_ops = jax.lax.sort(
         (depth_key, pre.tiles_touched, meta,
@@ -223,25 +226,36 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
     offsets = jnp.cumsum(tiles_s) - tiles_s
     total = offsets[-1] + tiles_s[-1] if n > 0 else jnp.int32(0)
 
-    # scatter each depth-ranked gaussian's row to its first instance slot,
-    # then segmented-forward-fill.  Scatter-ADD onto a zero base (indices
-    # are unique, so add == set) — XLA's TPU scatter-add emitter is
-    # vectorized while scatter-set serializes per update (measured
-    # ~16 ms vs ~0.03 ms for these 13 scatters); overflowing gaussians
-    # (offsets >= mi) are dropped outright instead of clamped to mi-1.
-    idx = jnp.where((tiles_s > 0) & (offsets < mi), offsets, mi)
-
-    def scat(x):
-        return jnp.zeros((mi,), x.dtype).at[idx].add(x, mode="drop")
-    flag = jnp.zeros((mi,), jnp.int32).at[idx].add(1, mode="drop")
-    # gid rides as gid+1 so the zero base decodes to -1 (padding)
-    filled = _ffill(flag, [scat(meta_s), scat(offsets),
-                           scat(gid_s + 1)] + [scat(c) for c in chans_s])
+    # --- instance expansion as a MERGE-SPREAD (scatter-free): each kept
+    # gaussian row (sort key = its first instance slot) is merged with the
+    # mi slot rows (key = slot id) by one stable sort — gaussian rows
+    # precede their slot on key ties because they come first in the concat
+    # — then a segmented forward-fill propagates each gaussian's attributes
+    # to all slots it owns.  The previous seeding scattered 13 channels to
+    # the first slot: XLA's TPU scatter emitter is SERIAL per update
+    # (~110 ns -> 22.7 ms/frame at 200k gaussians) while sorts and the
+    # two-level fill are fully vectorized.  Dropped gaussians (culled, or
+    # offsets >= mi when over capacity) get key mi and sort past every
+    # real slot.
+    gkey = jnp.where((tiles_s > 0) & (offsets < mi), offsets, mi)
+    is_g = jnp.concatenate([jnp.ones((n,), jnp.int32),
+                            jnp.zeros((mi,), jnp.int32)])
+    zi = jnp.zeros((mi,), jnp.int32)
+    zf = jnp.zeros((mi,), f32)
+    merged = jax.lax.sort(
+        (jnp.concatenate([gkey, jnp.arange(mi, dtype=jnp.int32)]), is_g,
+         jnp.concatenate([meta_s, zi]), jnp.concatenate([offsets, zi]),
+         # gid rides as gid+1 so the zero fill decodes to -1 (padding)
+         jnp.concatenate([gid_s + 1, zi]))
+        + tuple(jnp.concatenate([c, zf]) for c in chans_s), num_keys=1)
+    key_m, is_g_m = merged[0], merged[1]
+    filled = _ffill(is_g_m, list(merged[2:]))
     meta_i, off_i = filled[0], filled[1]
     gid_i = filled[2] - 1
     chans_i = tuple(filled[3:])
 
-    inst = jnp.arange(mi, dtype=jnp.int32)
+    # slot rows: key_m is the instance id; gaussian rows are culled below
+    inst = key_m
     local = inst - off_i
     rminx = meta_i & 0x7FF
     rminy = (meta_i >> 11) & 0x7FF
@@ -249,7 +263,8 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
     tx = rminx + local % rw_i
     ty = rminy + local // rw_i
     tile_id = ty * grid_x + tx
-    valid = (inst < jnp.minimum(total, mi)) & (flag.cumsum() > 0)
+    valid = ((is_g_m == 0) & (inst < jnp.minimum(total, mi))
+             & (gid_i >= 0))
 
     if corner_cull and tile_x > 0:
         # drop instances whose max alpha anywhere in the tile is < 1/255 —
@@ -311,7 +326,7 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
     end = jnp.searchsorted(ts_ops[0], tids + 1, side="left").astype(jnp.int32)
 
     attr = jnp.stack(list(chans_t)
-                     + [jnp.zeros((mi + nd,), f32)] * 6, axis=0)
+                     + [jnp.zeros((chans_t[0].shape[0],), f32)] * 6, axis=0)
     return StagedBins(attr=attr, ids=gid_t, tile_start=start,
                       tile_count=end - start,
                       num_instances=jnp.minimum(total, mi).astype(jnp.int32),

@@ -115,6 +115,105 @@ def project_points(p: jnp.ndarray, projmat: jnp.ndarray) -> jnp.ndarray:
     return hom[..., :3] * inv_w
 
 
+# ---------------------------------------------------------------------------
+# Structure-of-arrays (column) variants.
+#
+# TPU layouts put the minor axis on the 128-wide vector lanes; [N, 3]-shaped
+# tensors and [N, 3, 3] einsums compile to serialized loop fusions /
+# MXU convolutions with strided slice extraction (profiled at ~16 ms/frame
+# for 200k Gaussians).  These variants take and return plain 1-D [N] arrays
+# so the whole preprocess fuses into one vectorized elementwise pass.
+# ---------------------------------------------------------------------------
+
+def transform_point_4x3_cols(px, py, pz, m):
+    """Column version of ``transform_point_4x3`` -> (x, y, z) 1-D arrays."""
+    return (px * m[0, 0] + py * m[1, 0] + pz * m[2, 0] + m[3, 0],
+            px * m[0, 1] + py * m[1, 1] + pz * m[2, 1] + m[3, 1],
+            px * m[0, 2] + py * m[1, 2] + pz * m[2, 2] + m[3, 2])
+
+
+def project_points_cols(px, py, pz, projmat):
+    """Column version of ``project_points`` -> (ndc_x, ndc_y, ndc_z)."""
+    m = projmat
+    hx = px * m[0, 0] + py * m[1, 0] + pz * m[2, 0] + m[3, 0]
+    hy = px * m[0, 1] + py * m[1, 1] + pz * m[2, 1] + m[3, 1]
+    hz = px * m[0, 2] + py * m[1, 2] + pz * m[2, 2] + m[3, 2]
+    hw = px * m[0, 3] + py * m[1, 3] + pz * m[2, 3] + m[3, 3]
+    inv_w = 1.0 / (hw + W_EPS)
+    return hx * inv_w, hy * inv_w, hz * inv_w
+
+
+def quat_to_rotmat_cols(qr, qx, qy, qz):
+    """Raw-quaternion rotation entries as nine 1-D arrays (row-major
+    r00..r22); matches ``quat_to_rotmat_raw`` exactly."""
+    r, x, y, z = qr, qx, qy, qz
+    return (1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y),
+            2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x),
+            2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y))
+
+
+def build_cov3d_cols(sx, sy, sz, mod, qr, qx, qy, qz):
+    """Column version of ``build_cov3d`` -> (xx, xy, xz, yy, yz, zz).
+
+    Same math and summation order as the stacked version: M = R diag(s),
+    sigma_ij = sum_k M_ik M_jk (forward.cu:118-152)."""
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = quat_to_rotmat_cols(
+        qr, qx, qy, qz)
+    sx = mod * sx
+    sy = mod * sy
+    sz = mod * sz
+    m00, m01, m02 = r00 * sx, r01 * sy, r02 * sz
+    m10, m11, m12 = r10 * sx, r11 * sy, r12 * sz
+    m20, m21, m22 = r20 * sx, r21 * sy, r22 * sz
+    xx = m00 * m00 + m01 * m01 + m02 * m02
+    xy = m00 * m10 + m01 * m11 + m02 * m12
+    xz = m00 * m20 + m01 * m21 + m02 * m22
+    yy = m10 * m10 + m11 * m11 + m12 * m12
+    yz = m10 * m20 + m11 * m21 + m12 * m22
+    zz = m20 * m20 + m21 * m21 + m22 * m22
+    return xx, xy, xz, yy, yz, zz
+
+
+def compute_cov2d_cols(px, py, pz, focal_x, focal_y, tan_fovx, tan_fovy,
+                       cov6, viewmat):
+    """Column version of ``compute_cov2d``: world-position columns + packed
+    cov3d columns -> (a, b, c) of the 2D covariance [[a, b], [b, c]].
+
+    Exact reference math (forward.cu:74-113): view clamp at 1.3*tanfov,
+    +0.3 low-pass on the diagonal.  cov = T^T V T with T = W J unrolled to
+    scalar arithmetic (J's last column is zero, so only T[:, 0] and T[:, 1]
+    are needed)."""
+    xx, xy, xz, yy, yz, zz = cov6
+    tx_, ty_, tz = transform_point_4x3_cols(px, py, pz, viewmat)
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    txtz = tx_ / tz
+    tytz = ty_ / tz
+    tx = jnp.clip(txtz, -limx, limx) * tz
+    ty = jnp.clip(tytz, -limy, limy) * tz
+
+    fxtz = focal_x / tz
+    fytz = focal_y / tz
+    jx = -(focal_x * tx) / (tz * tz)
+    jy = -(focal_y * ty) / (tz * tz)
+    w = viewmat[:3, :3]
+    # T = W @ J; J = [[fx/tz,0,0],[0,fy/tz,0],[jx,jy,0]]
+    u0 = w[0, 0] * fxtz + w[0, 2] * jx
+    u1 = w[1, 0] * fxtz + w[1, 2] * jx
+    u2 = w[2, 0] * fxtz + w[2, 2] * jx
+    v0 = w[0, 1] * fytz + w[0, 2] * jy
+    v1 = w[1, 1] * fytz + w[1, 2] * jy
+    v2 = w[2, 1] * fytz + w[2, 2] * jy
+    a = (xx * u0 * u0 + yy * u1 * u1 + zz * u2 * u2
+         + 2.0 * (xy * u0 * u1 + xz * u0 * u2 + yz * u1 * u2))
+    b = (xx * u0 * v0 + yy * u1 * v1 + zz * u2 * v2
+         + xy * (u0 * v1 + u1 * v0) + xz * (u0 * v2 + u2 * v0)
+         + yz * (u1 * v2 + u2 * v1))
+    c = (yy * v1 * v1 + xx * v0 * v0 + zz * v2 * v2
+         + 2.0 * (xy * v0 * v1 + xz * v0 * v2 + yz * v1 * v2))
+    return a + COV2D_LOWPASS, b, c + COV2D_LOWPASS
+
+
 def ndc2pix(v: jnp.ndarray, size) -> jnp.ndarray:
     """NDC [-1, 1] -> pixel centers, exact reference formula
     (auxiliary.h:41-44)."""
@@ -162,13 +261,10 @@ def build_cov3d(scale: jnp.ndarray, mod, quat: jnp.ndarray) -> jnp.ndarray:
     matrix (consistent with the Python-side ``build_scaling_rotation``,
     general_utils.py:191-200, where cov = (R S)(R S)^T).
     """
-    R = quat_to_rotmat_raw(quat)
-    s = mod * scale
-    M = R * s[..., None, :]          # columns scaled: M = R @ diag(s)
-    sigma = jnp.einsum('...ik,...jk->...ij', M, M)   # M M^T
-    return jnp.stack([sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
-                      sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2]],
-                     axis=-1)
+    cols = build_cov3d_cols(scale[..., 0], scale[..., 1], scale[..., 2], mod,
+                            quat[..., 0], quat[..., 1], quat[..., 2],
+                            quat[..., 3])
+    return jnp.stack(cols, axis=-1)
 
 
 def unpack_sym3(c6: jnp.ndarray) -> jnp.ndarray:
@@ -188,32 +284,10 @@ def compute_cov2d(mean: jnp.ndarray, focal_x, focal_y, tan_fovx, tan_fovy,
     1.3*tanfov before building the projective Jacobian, and a +0.3 low-pass on
     the output diagonal.
     """
-    t = transform_point_4x3(mean, viewmat)
-    limx = 1.3 * tan_fovx
-    limy = 1.3 * tan_fovy
-    tz = t[..., 2]
-    txtz = t[..., 0] / tz
-    tytz = t[..., 1] / tz
-    tx = jnp.clip(txtz, -limx, limx) * tz
-    ty = jnp.clip(tytz, -limy, limy) * tz
-
-    # Math (row-index) matrices of the CUDA column-major glm code:
-    #   J = [[fx/tz, 0, 0], [0, fy/tz, 0], [-fx tx/tz^2, -fy ty/tz^2, 0]]
-    #   W = viewmat[:3, :3]  (row-vector storage)
-    #   cov2d = T^T Sigma T  with T = W J.
-    z = jnp.zeros_like(tz)
-    J = jnp.stack([
-        jnp.stack([focal_x / tz, z, z], axis=-1),
-        jnp.stack([z, focal_y / tz, z], axis=-1),
-        jnp.stack([-(focal_x * tx) / (tz * tz),
-                   -(focal_y * ty) / (tz * tz), z], axis=-1)], axis=-2)
-    W = jnp.broadcast_to(viewmat[:3, :3], J.shape)
-    T = W @ J
-    V = unpack_sym3(cov3d6)
-    cov = jnp.einsum('...ki,...kl,...lj->...ij', T, V, T)
-    a = cov[..., 0, 0] + COV2D_LOWPASS
-    b = cov[..., 0, 1]
-    c = cov[..., 1, 1] + COV2D_LOWPASS
+    cov6 = tuple(cov3d6[..., i] for i in range(6))
+    a, b, c = compute_cov2d_cols(mean[..., 0], mean[..., 1], mean[..., 2],
+                                 focal_x, focal_y, tan_fovx, tan_fovy,
+                                 cov6, viewmat)
     return jnp.stack([a, b, c], axis=-1)
 
 

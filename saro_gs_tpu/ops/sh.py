@@ -77,6 +77,63 @@ def eval_sh_color(degree: int, shs: jnp.ndarray, means: jnp.ndarray,
     return jnp.maximum(raw, 0.0), clamped
 
 
+def sh_basis_cols(degree: int, x, y, z):
+    """``sh_basis`` on direction columns -> list of 16 1-D arrays (zeros
+    beyond ``(degree+1)^2``)."""
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    b = [SH_C0 * one] + [zero] * 15
+    if degree > 0:
+        b[1] = -SH_C1 * y
+        b[2] = SH_C1 * z
+        b[3] = -SH_C1 * x
+    if degree > 1:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        b[4] = SH_C2[0] * xy
+        b[5] = SH_C2[1] * yz
+        b[6] = SH_C2[2] * (2.0 * zz - xx - yy)
+        b[7] = SH_C2[3] * xz
+        b[8] = SH_C2[4] * (xx - yy)
+    if degree > 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy = x * y
+        b[9] = SH_C3[0] * y * (3.0 * xx - yy)
+        b[10] = SH_C3[1] * xy * z
+        b[11] = SH_C3[2] * y * (4.0 * zz - xx - yy)
+        b[12] = SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy)
+        b[13] = SH_C3[4] * x * (4.0 * zz - xx - yy)
+        b[14] = SH_C3[5] * z * (xx - yy)
+        b[15] = SH_C3[6] * x * (xx - 3.0 * yy)
+    return b
+
+
+def eval_sh_color_cols(degree: int, shs: jnp.ndarray, px, py, pz, campos):
+    """Column version of ``eval_sh_color``: position columns ->
+    ((r, g, b), (clamp_r, clamp_g, clamp_b)) 1-D arrays.
+
+    The [N, 16, 3] SH tensor is transposed once to [16, 3, N] so each
+    coefficient read is a contiguous 1-D slice (strided [:, k, c] slices
+    serialize on TPU); the weighted sum is then a pure elementwise chain.
+    """
+    dx = px - campos[0]
+    dy = py - campos[1]
+    dz = pz - campos[2]
+    inv_n = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    basis = sh_basis_cols(degree, dx * inv_n, dy * inv_n, dz * inv_n)
+    n_coef = num_sh_coeffs(degree)
+    sht = jnp.transpose(shs[:, :n_coef, :], (1, 2, 0))     # [K, 3, N]
+    rgb, clamped = [], []
+    for c in range(3):
+        raw = basis[0] * sht[0, c]
+        for k in range(1, n_coef):
+            raw = raw + basis[k] * sht[k, c]
+        raw = raw + 0.5
+        clamped.append(raw < 0)
+        rgb.append(jnp.maximum(raw, 0.0))
+    return tuple(rgb), tuple(clamped)
+
+
 def rgb2sh(rgb: jnp.ndarray) -> jnp.ndarray:
     """DC-band conversion (utils/sh_utils.py:114)."""
     return (rgb - 0.5) / SH_C0
