@@ -115,19 +115,20 @@ def bin_gaussians(pre: PreprocessOut, grid_x: int, grid_y: int,
 # ---------------------------------------------------------------------------
 
 class StagedBins(NamedTuple):
-    """Tile-sorted instance table with chunk-ALIGNED per-tile ranges.
+    """Tile-sorted instance table (tile-major, depth-ascending per tile).
 
     ``attr`` rows: x, y, conic_a, conic_b, conic_c, opacity, r, g, b,
-    depth, pad*6 — attribute-major [16, N + MI + NT*chunk] f32 (the N
-    merge-spread gaussian rows sort into the dropped tail).  Alignment
-    padding consists of synthetic zero-opacity instances that were sorted
-    into place (gid -1), so kernels need no edge masking and all window
-    offsets are provable multiples of ``chunk``.
+    depth, pad*6 — attribute-major [16, L] f32 where L = N + MI rounded
+    up to a ``chunk`` multiple (the N merge-spread gaussian rows sort
+    into the dropped tail; trailing pad carries gid -1 / opacity 0).
+    Per-tile ranges are NOT chunk-aligned: kernels DMA the aligned
+    envelope [align_down(start), align_up(start+count)) — provable
+    ``chunk`` multiples — and mask boundary rows by instance index.
     """
-    attr: jnp.ndarray          # [16, N + MI + NT*chunk] f32
-    ids: jnp.ndarray           # [N + MI + NT*chunk] int32 gauss ids, -1 pad
-    tile_start: jnp.ndarray    # [NT] int32 (chunk-aligned)
-    tile_count: jnp.ndarray    # [NT] int32 (chunk-padded counts)
+    attr: jnp.ndarray          # [16, L] f32
+    ids: jnp.ndarray           # [L] int32 gauss ids, -1 pad
+    tile_start: jnp.ndarray    # [NT] int32 (unaligned)
+    tile_count: jnp.ndarray    # [NT] int32 real instance counts
     num_instances: jnp.ndarray
     num_dropped: jnp.ndarray
 
@@ -190,17 +191,22 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
 
     The profile showed XLA gathers (table[ids] staging at instance
     count) dominating the frame at ~16ns/element while sorts/scans are
-    fast; so all ten per-instance attributes travel as sort payloads:
+    fast; so all ten per-instance attributes travel as sort payloads,
+    and the whole pipeline is exactly TWO sorts over N + MI rows:
 
-      1. depth-sort the N gaussians carrying the attributes,
-      2. expand to instances by a merge-spread: stable-sort gaussian rows
-         (key = first owned slot) together with the mi slot rows, then
-         segmented-forward-fill (TPU scatters serialize per update; sorts
-         and the two-level fill vectorize),
-      3. stable tile-sort the instance table (gaussian rows carry the
-         sentinel tile and sort to the dropped tail),
-      4. per-tile [start, count) via searchsorted; alignment padding
-         rides the tile sort as synthetic zero-opacity instances.
+      1. expand to instances by a merge-spread IN EMISSION ORDER:
+         stable-sort gaussian rows (key = first owned slot, from the
+         exclusive cumsum of tiles_touched) together with the mi slot
+         rows, then segmented-forward-fill (TPU scatters serialize per
+         update; sorts and the two-level fill vectorize),
+      2. one stable 2-key (tile, depth) sort of the instance table —
+         reproducing the reference's radix sort of tile<<32|depth-bits
+         keys (rasterizer_impl.cu:275-319) without a gaussian depth
+         pre-sort; gaussian rows carry the sentinel tile and sort to
+         the dropped tail,
+      3. per-tile [start, count) via searchsorted, UNALIGNED — kernels
+         DMA chunk-aligned envelopes and mask boundary rows, so no
+         alignment dummies ride the sort.
     """
     num_tiles = grid_x * grid_y
     n = pre.tiles_touched.shape[0]
@@ -208,7 +214,6 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
     f32 = jnp.float32
 
     opacity = opacity.reshape(-1).astype(f32)
-    depth_key = jnp.where(pre.mask, pre.depth.astype(f32), jnp.inf)
     rw = jnp.maximum(pre.rmax_x - pre.rmin_x, 1)
     meta = (pre.rmin_x + (pre.rmin_y << 11) + (rw << 22))
     chans = (pre.mean_x.astype(f32), pre.mean_y.astype(f32),
@@ -217,45 +222,43 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
              pre.rgb_r.astype(f32), pre.rgb_g.astype(f32),
              pre.rgb_b.astype(f32), pre.depth.astype(f32))
 
-    sorted_ops = jax.lax.sort(
-        (depth_key, pre.tiles_touched, meta,
-         jnp.arange(n, dtype=jnp.int32)) + chans, num_keys=1)
-    tiles_s, meta_s, gid_s = sorted_ops[1], sorted_ops[2], sorted_ops[3]
-    chans_s = sorted_ops[4:]
-
-    offsets = jnp.cumsum(tiles_s) - tiles_s
-    total = offsets[-1] + tiles_s[-1] if n > 0 else jnp.int32(0)
+    tiles = pre.tiles_touched
+    offsets = jnp.cumsum(tiles) - tiles
+    total = offsets[-1] + tiles[-1] if n > 0 else jnp.int32(0)
 
     # --- instance expansion as a MERGE-SPREAD (scatter-free): each kept
     # gaussian row (sort key = its first instance slot) is merged with the
     # mi slot rows (key = slot id) by one stable sort — gaussian rows
     # precede their slot on key ties because they come first in the concat
     # — then a segmented forward-fill propagates each gaussian's attributes
-    # to all slots it owns.  The previous seeding scattered 13 channels to
-    # the first slot: XLA's TPU scatter emitter is SERIAL per update
-    # (~110 ns -> 22.7 ms/frame at 200k gaussians) while sorts and the
-    # two-level fill are fully vectorized.  Dropped gaussians (culled, or
-    # offsets >= mi when over capacity) get key mi and sort past every
-    # real slot.
-    gkey = jnp.where((tiles_s > 0) & (offsets < mi), offsets, mi)
-    is_g = jnp.concatenate([jnp.ones((n,), jnp.int32),
-                            jnp.zeros((mi,), jnp.int32)])
+    # to all slots it owns.  Seeding by scatter instead is SERIAL per
+    # update on TPU (~110 ns -> 22.7 ms/frame at 200k gaussians) while
+    # sorts and the two-level fill are fully vectorized.  Dropped
+    # gaussians (culled, or offsets >= mi when over capacity) get key mi
+    # and sort past every real slot.  Two operands ride FREE: the fill
+    # flag is (meta > 0) — every real gaussian has rw >= 1 so meta >=
+    # 1<<22, slot rows carry 0 — and the owner's first slot is the key
+    # the gaussian row itself carried.
+    gkey = jnp.where((tiles > 0) & (offsets < mi), offsets, mi)
     zi = jnp.zeros((mi,), jnp.int32)
     zf = jnp.zeros((mi,), f32)
     merged = jax.lax.sort(
-        (jnp.concatenate([gkey, jnp.arange(mi, dtype=jnp.int32)]), is_g,
-         jnp.concatenate([meta_s, zi]), jnp.concatenate([offsets, zi]),
+        (jnp.concatenate([gkey, jnp.arange(mi, dtype=jnp.int32)]),
+         jnp.concatenate([meta, zi]),
          # gid rides as gid+1 so the zero fill decodes to -1 (padding)
-         jnp.concatenate([gid_s + 1, zi]))
-        + tuple(jnp.concatenate([c, zf]) for c in chans_s), num_keys=1)
-    key_m, is_g_m = merged[0], merged[1]
-    filled = _ffill(is_g_m, list(merged[2:]))
+         jnp.concatenate([jnp.arange(1, n + 1, dtype=jnp.int32), zi]))
+        + tuple(jnp.concatenate([c, zf]) for c in chans), num_keys=1)
+    key_m, meta_m = merged[0], merged[1]
+    flag = (meta_m > 0).astype(jnp.int32)
+    off0 = jnp.where(flag > 0, key_m, 0)
+    filled = _ffill(flag, [meta_m, off0, merged[2]] + list(merged[3:]))
     meta_i, off_i = filled[0], filled[1]
     gid_i = filled[2] - 1
     chans_i = tuple(filled[3:])
 
     # slot rows: key_m is the instance id; gaussian rows are culled below
     inst = key_m
+    is_g_m = flag
     local = inst - off_i
     rminx = meta_i & 0x7FF
     rminy = (meta_i >> 11) & 0x7FF
@@ -292,41 +295,30 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
     # culled/padding instances must never composite: zero their opacity
     opac_i = jnp.where(valid, chans_i[5], 0.0)
     gid_i = jnp.where(valid, gid_i, -1)
+    # second sort key; sanitize invalid rows (their depth may be garbage
+    # from culled gaussians) — they sort to the sentinel-tile tail anyway
+    depth_i = jnp.where(valid, chans_i[9], 0.0)
 
-    # --- alignment padding as DATA: a cheap key-only pre-sort yields real
-    # per-tile counts; each tile then contributes (-count) mod chunk
-    # synthetic zero-opacity instances to the payload sort, so every tile's
-    # final range is a chunk multiple at a chunk-aligned start -------------
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    pre_sorted = jax.lax.sort((tile_id,), num_keys=1)[0]
-    cstart = jnp.searchsorted(pre_sorted, tids, side="left")
-    cend = jnp.searchsorted(pre_sorted, tids + 1, side="left")
-    pad_t = (-(cend - cstart)) % chunk                      # [NT]
-    s_in_tile = jnp.arange(num_tiles * chunk, dtype=jnp.int32) % chunk
-    dummy_tile = jnp.where(s_in_tile < jnp.repeat(pad_t, chunk),
-                           jnp.arange(num_tiles * chunk,
-                                      dtype=jnp.int32) // chunk,
-                           num_tiles).astype(jnp.int32)
-    nd = num_tiles * chunk
-    zeros_d = jnp.zeros((nd,), f32)
-
-    def cat(x, d):
-        return jnp.concatenate([x, d])
-
+    # --- one stable (tile, depth) sort.  Equal (tile, depth) pairs keep
+    # emission order = original gaussian order, matching cub's stable
+    # radix sort of tile<<32|depth-bits keys (positive depths order the
+    # same by float value and by bit pattern). -----------------------------
     ts_ops = jax.lax.sort(
-        (cat(tile_id, dummy_tile), cat(gid_i, jnp.full((nd,), -1,
-                                                       jnp.int32)))
-        + tuple(cat(c, zeros_d) for c in chans_i[:5])
-        + (cat(opac_i, zeros_d),)
-        + tuple(cat(c, zeros_d) for c in chans_i[6:]), num_keys=1)
-    gid_t = ts_ops[1]
-    chans_t = ts_ops[2:]
+        (tile_id, depth_i, gid_i) + tuple(chans_i[:5]) + (opac_i,)
+        + tuple(chans_i[6:9]), num_keys=2)
+    gid_t = ts_ops[2]
+    chans_t = ts_ops[3:] + (ts_ops[1],)   # depth key doubles as attr row 9
 
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
     start = jnp.searchsorted(ts_ops[0], tids, side="left").astype(jnp.int32)
     end = jnp.searchsorted(ts_ops[0], tids + 1, side="left").astype(jnp.int32)
 
-    attr = jnp.stack(list(chans_t)
-                     + [jnp.zeros((chans_t[0].shape[0],), f32)] * 6, axis=0)
+    # round the buffer up to a chunk multiple so the last tile's aligned
+    # envelope DMA stays in bounds (pad: gid -1, opacity 0)
+    tail = (-(n + mi)) % chunk
+    gid_t = jnp.pad(gid_t, (0, tail), constant_values=-1)
+    attr = jnp.stack([jnp.pad(c, (0, tail)) for c in chans_t]
+                     + [jnp.zeros((n + mi + tail,), f32)] * 6, axis=0)
     return StagedBins(attr=attr, ids=gid_t, tile_start=start,
                       tile_count=end - start,
                       num_instances=jnp.minimum(total, mi).astype(jnp.int32),

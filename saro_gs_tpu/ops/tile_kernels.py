@@ -18,14 +18,16 @@ depth-sorted instance list in chunks of K Gaussians as dense [K, P] matrices
     (backward.cu:515-534) without a reverse traversal.
 
 The instance table arrives PRE-STAGED from gather-free binning
-(binning.bin_gaussians_staged): attribute-major [16, MI + NT*chunk] in HBM
-with chunk-ALIGNED per-tile ranges whose alignment padding is synthetic
-zero-opacity instances sorted into place — so every DMA window offset is a
-provable multiple of the chunk (Mosaic lane-tiling requirement) and no edge
-masking is needed.  The backward writes per-instance gradients back at the
-same aligned offsets (each instance belongs to exactly one tile, writes
-never collide) into an aliased zero-initialized output (covering rows the
-n_contrib-clamped walk never visits) — fully deterministic, replacing the
+(binning.bin_gaussians_staged): attribute-major [16, L] in HBM, tile-major
+and depth-sorted, with UNALIGNED per-tile [start, count) ranges.  Each tile
+DMAs the chunk-aligned envelope [align_down(start), align_up(start+count))
+— offsets stay provable multiples of the chunk (Mosaic lane-tiling
+requirement) — and self-masks boundary rows that belong to neighbouring
+tiles by their instance rank.  The backward writes per-instance gradients
+back at the same envelope offsets into an aliased zero-initialized output
+(covering rows the n_contrib-clamped walk never visits); a chunk shared by
+two tiles is merged by the successor with a read-modify-write (the grid is
+sequential on a TensorCore) — fully deterministic, replacing the
 reference's atomicAdd backward.
 """
 from __future__ import annotations
@@ -130,12 +132,16 @@ def _fwd_kernel(starts_ref, counts_ref, attr_hbm,
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
-    nchunks = pl.cdiv(count, k)
+    # tile ranges are UNALIGNED; DMA the chunk-aligned envelope and mask
+    # boundary rows by global instance index (neighbours' rows get alpha 0)
+    astart = pl.multiple_of((start // k) * k, k)
+    lead = start - astart
+    nchunks = pl.cdiv(lead + count, k)
     pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p)
     rows = _row_iota(k, p)
 
     def copy_chunk(c, slot):
-        off = pl.multiple_of(start + c * k, k)  # binning aligns tile starts
+        off = pl.multiple_of(astart + c * k, k)
         return pltpu.make_async_copy(
             attr_hbm.at[:, pl.ds(off, k)], attr_vmem.at[slot],
             sem.at[slot])
@@ -161,6 +167,10 @@ def _fwd_kernel(starts_ref, counts_ref, attr_hbm,
 
         attr = attr_vmem[slot]
         _, _, _, _, a_eff, _ = _chunk_alpha(attr, pxf, pyf, k, p)
+        # 1-based rank of each row within THIS tile's [start, count) range;
+        # boundary rows outside it self-mask
+        rank1 = (astart - start) + c * k + rows + 1                  # [K,P]
+        a_eff = jnp.where((rank1 >= 1) & (rank1 <= count), a_eff, 0.0)
         # prefix transmittance within chunk (carry folded in)
         tt = _prefix_mul(1.0 - a_eff, k, prefix) * T_in              # [K,P]
         tprev = pltpu.roll(tt, shift=1, axis=0)
@@ -178,7 +188,7 @@ def _fwd_kernel(starts_ref, counts_ref, attr_hbm,
             jnp.any(crossing, axis=0, keepdims=True),
             jnp.sum(jnp.where(crossing, depth_k, 0.0), axis=0,
                     keepdims=True), D_in)
-        nc_slot = c * k + rows + 1
+        nc_slot = rank1
         NC_out = jnp.maximum(
             NC_in, jnp.max(jnp.where(contrib, nc_slot, 0), axis=0,
                            keepdims=True))
@@ -274,14 +284,16 @@ def forward_tiles_pallas(bins, bg, width, height, tile_x, tile_y, chunk,
 def _bwd_kernel(starts_ref, counts_ref, attr_hbm, dpix_ref, cfg_ref,
                 tfin_ref, bg_ref, gzero_hbm,
                 grads_hbm,
-                attr_vmem, gout_vmem, sem_in, sem_out,
+                attr_vmem, gout_vmem, gprev_vmem, sem_in, sem_out, sem_prev,
                 *, k, p, grid_x, tile_x, tile_y, width, height,
                 prefix="roll"):
     del gzero_hbm  # aliased into grads_hbm: pre-zeroed output
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]   # pre-clamped to the tile's max n_contrib
-    nchunks = pl.cdiv(count, k)
+    astart = pl.multiple_of((start // k) * k, k)
+    lead = start - astart
+    nchunks = pl.cdiv(lead + count, k)
     pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p)
     rows = _row_iota(k, p)
     dpix = dpix_ref[0]                    # [3, P]
@@ -291,7 +303,7 @@ def _bwd_kernel(starts_ref, counts_ref, attr_hbm, dpix_ref, cfg_ref,
     bg_dot = jnp.sum(bg * dpix, axis=0, keepdims=True)   # [1, P]
 
     def copy_chunk(c, slot):
-        off = pl.multiple_of(start + c * k, k)
+        off = pl.multiple_of(astart + c * k, k)
         return pltpu.make_async_copy(
             attr_hbm.at[:, pl.ds(off, k)], attr_vmem.at[slot],
             sem_in.at[slot])
@@ -299,6 +311,18 @@ def _bwd_kernel(starts_ref, counts_ref, attr_hbm, dpix_ref, cfg_ref,
     @pl.when(nchunks > 0)
     def _():
         copy_chunk(0, 0).start()
+        # the first chunk's window can be SHARED with preceding tiles
+        # (unaligned start): read-modify-write so their already-written
+        # gradient rows survive.  The grid runs tiles in ascending order on
+        # one core, so the predecessor's store has completed.
+        gprev_vmem[...] = jnp.zeros((_GROWS, k), jnp.float32)
+
+        @pl.when(lead > 0)
+        def _():
+            dma_prev = pltpu.make_async_copy(
+                grads_hbm.at[:, pl.ds(astart, k)], gprev_vmem, sem_prev)
+            dma_prev.start()
+            dma_prev.wait()
 
     def cond(carry):
         c, T_in, _ = carry
@@ -315,6 +339,8 @@ def _bwd_kernel(starts_ref, counts_ref, attr_hbm, dpix_ref, cfg_ref,
 
         attr = attr_vmem[slot]
         dx, dy, g, alpha, a_eff, ok = _chunk_alpha(attr, pxf, pyf, k, p)
+        rank1 = (astart - start) + c * k + rows + 1
+        a_eff = jnp.where((rank1 >= 1) & (rank1 <= count), a_eff, 0.0)
         tt = _prefix_mul(1.0 - a_eff, k, prefix) * T_in
         tprev = pltpu.roll(tt, shift=1, axis=0)
         tprev = jnp.where(rows < 1, T_in, tprev)
@@ -352,16 +378,30 @@ def _bwd_kernel(starts_ref, counts_ref, attr_hbm, dpix_ref, cfg_ref,
             w, dpix, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)           # [K, 3]
 
-        gout_vmem[0, :] = d_rgb[:, 0]
-        gout_vmem[1, :] = d_rgb[:, 1]
-        gout_vmem[2, :] = d_rgb[:, 2]
-        gout_vmem[3, :] = d_mx
-        gout_vmem[4, :] = d_my
-        gout_vmem[5, :] = d_ca
-        gout_vmem[6, :] = d_cb
-        gout_vmem[7, :] = d_cc
-        gout_vmem[8, :] = d_op
-        off = pl.multiple_of(start + c * k, k)
+        # boundary rows belong to neighbouring tiles: the first chunk merges
+        # the predecessor's rows back in (gprev; zeros when start aligned),
+        # later chunks write zeros there — the SUCCESSOR tile's own RMW
+        # preserves whatever it needs, and trailing rows past its range are
+        # covered by the aliased zero init.
+        mine = (rank1[:, 0:1] >= 1) & (rank1[:, 0:1] <= count)     # [K, 1]
+        minef = mine.astype(jnp.float32)
+        keep = jnp.where(c == 0, 1.0 - minef, 0.0)
+
+        def put(i, v):
+            gout_vmem[i, :] = (minef * v.reshape(k, 1)
+                               + keep * gprev_vmem[i, :].reshape(k, 1)
+                               ).reshape(k)
+
+        put(0, d_rgb[:, 0])
+        put(1, d_rgb[:, 1])
+        put(2, d_rgb[:, 2])
+        put(3, d_mx)
+        put(4, d_my)
+        put(5, d_ca)
+        put(6, d_cb)
+        put(7, d_cc)
+        put(8, d_op)
+        off = pl.multiple_of(astart + c * k, k)
         dma_out = pltpu.make_async_copy(
             gout_vmem, grads_hbm.at[:, pl.ds(off, k)], sem_out)
         dma_out.start()
@@ -447,7 +487,9 @@ def backward_tiles_pallas(bins, bg, out_color, final_t, d_color,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[pltpu.VMEM((2, _ROWS, k), jnp.float32),
                         pltpu.VMEM((_GROWS, k), jnp.float32),
+                        pltpu.VMEM((_GROWS, k), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA],
     )
     gzero = jnp.zeros((_GROWS, mi_buf), jnp.float32)
