@@ -183,10 +183,28 @@ def _ffill(flag, vals):
     return out
 
 
+def _pack2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 channels -> one int32 sort payload (a in high bf16, b low)."""
+    ah = jax.lax.bitcast_convert_type(a.astype(jnp.bfloat16), jnp.uint16)
+    bh = jax.lax.bitcast_convert_type(b.astype(jnp.bfloat16), jnp.uint16)
+    return jax.lax.bitcast_convert_type(
+        (ah.astype(jnp.uint32) << 16) | bh.astype(jnp.uint32), jnp.int32)
+
+
+def _unpack2(p: jnp.ndarray) -> tuple:
+    u = jax.lax.bitcast_convert_type(p, jnp.uint32)
+    a = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16),
+                                     jnp.bfloat16).astype(jnp.float32)
+    b = jax.lax.bitcast_convert_type(u.astype(jnp.uint16),
+                                     jnp.bfloat16).astype(jnp.float32)
+    return a, b
+
+
 def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
                          grid_x: int, grid_y: int, max_instances: int,
                          chunk: int, tile_x: int = 0, tile_y: int = 0,
-                         corner_cull: bool = True) -> StagedBins:
+                         corner_cull: bool = True,
+                         packed: bool = False) -> StagedBins:
     """Gather-free binning for the Pallas fast path.
 
     The profile showed XLA gathers (table[ids] staging at instance
@@ -216,11 +234,23 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
     opacity = opacity.reshape(-1).astype(f32)
     rw = jnp.maximum(pre.rmax_x - pre.rmin_x, 1)
     meta = (pre.rmin_x + (pre.rmin_y << 11) + (rw << 22))
-    chans = (pre.mean_x.astype(f32), pre.mean_y.astype(f32),
-             pre.conic_a.astype(f32), pre.conic_b.astype(f32),
-             pre.conic_c.astype(f32), opacity,
-             pre.rgb_r.astype(f32), pre.rgb_g.astype(f32),
-             pre.rgb_b.astype(f32), pre.depth.astype(f32))
+    if packed:
+        # ``packed``: (conic_a,conic_b), (conic_c,opacity), (r,g) ride the
+        # two sorts as single int32 payloads of bf16 halves (means, b and
+        # the depth KEY stay f32, so the composite ORDER is exact; only
+        # those six values quantize, rel err ~2^-9).  3 fewer operands per
+        # sort — the sorts are the frame's HBM bottleneck.
+        chans = (pre.mean_x.astype(f32), pre.mean_y.astype(f32),
+                 _pack2(pre.conic_a, pre.conic_b),
+                 _pack2(pre.conic_c, opacity),
+                 _pack2(pre.rgb_r, pre.rgb_g),
+                 pre.rgb_b.astype(f32), pre.depth.astype(f32))
+    else:
+        chans = (pre.mean_x.astype(f32), pre.mean_y.astype(f32),
+                 pre.conic_a.astype(f32), pre.conic_b.astype(f32),
+                 pre.conic_c.astype(f32), opacity,
+                 pre.rgb_r.astype(f32), pre.rgb_g.astype(f32),
+                 pre.rgb_b.astype(f32), pre.depth.astype(f32))
 
     tiles = pre.tiles_touched
     offsets = jnp.cumsum(tiles) - tiles
@@ -241,13 +271,13 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
     # the gaussian row itself carried.
     gkey = jnp.where((tiles > 0) & (offsets < mi), offsets, mi)
     zi = jnp.zeros((mi,), jnp.int32)
-    zf = jnp.zeros((mi,), f32)
     merged = jax.lax.sort(
         (jnp.concatenate([gkey, jnp.arange(mi, dtype=jnp.int32)]),
          jnp.concatenate([meta, zi]),
          # gid rides as gid+1 so the zero fill decodes to -1 (padding)
          jnp.concatenate([jnp.arange(1, n + 1, dtype=jnp.int32), zi]))
-        + tuple(jnp.concatenate([c, zf]) for c in chans), num_keys=1)
+        + tuple(jnp.concatenate([c, jnp.zeros((mi,), c.dtype)])
+                for c in chans), num_keys=1)
     key_m, meta_m = merged[0], merged[1]
     flag = (meta_m > 0).astype(jnp.int32)
     off0 = jnp.where(flag > 0, key_m, 0)
@@ -269,6 +299,16 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
     valid = ((is_g_m == 0) & (inst < jnp.minimum(total, mi))
              & (gid_i >= 0))
 
+    if packed:
+        mx, my = chans_i[0], chans_i[1]
+        ca, cb = _unpack2(chans_i[2])
+        cc, op = _unpack2(chans_i[3])
+        depth_raw = chans_i[6]
+    else:
+        mx, my = chans_i[0], chans_i[1]
+        ca, cb, cc, op = chans_i[2], chans_i[3], chans_i[4], chans_i[5]
+        depth_raw = chans_i[9]
+
     if corner_cull and tile_x > 0:
         # drop instances whose max alpha anywhere in the tile is < 1/255 —
         # they contribute exactly zero (the compositor's cutoff), so
@@ -276,8 +316,6 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
         # tiles the 3-sigma ellipse never reaches.  Bound: power(q) =
         # -0.5 q^T C q <= -0.5 lam_min(C) |q|^2 with |q| >= dist(mean,
         # tile rect).
-        mx, my = chans_i[0], chans_i[1]
-        ca, cb, cc = chans_i[2], chans_i[3], chans_i[4]
         px0 = (tx * tile_x).astype(f32)
         py0 = (ty * tile_y).astype(f32)
         ddx = jnp.maximum(jnp.maximum(px0 - mx,
@@ -288,26 +326,40 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
             0.25 * (ca - cc) ** 2 + cb * cb + 1e-20)
         power_bound = -0.5 * jnp.maximum(lam_min, 0.0) * \
             (ddx * ddx + ddy * ddy)
-        keep = chans_i[5] * jnp.exp(power_bound) >= (1.0 / 255.0)
+        keep = op * jnp.exp(power_bound) >= (1.0 / 255.0)
         valid = valid & keep
 
     tile_id = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
-    # culled/padding instances must never composite: zero their opacity
-    opac_i = jnp.where(valid, chans_i[5], 0.0)
     gid_i = jnp.where(valid, gid_i, -1)
     # second sort key; sanitize invalid rows (their depth may be garbage
     # from culled gaussians) — they sort to the sentinel-tile tail anyway
-    depth_i = jnp.where(valid, chans_i[9], 0.0)
+    depth_i = jnp.where(valid, depth_raw, 0.0)
 
     # --- one stable (tile, depth) sort.  Equal (tile, depth) pairs keep
     # emission order = original gaussian order, matching cub's stable
     # radix sort of tile<<32|depth-bits keys (positive depths order the
-    # same by float value and by bit pattern). -----------------------------
-    ts_ops = jax.lax.sort(
-        (tile_id, depth_i, gid_i) + tuple(chans_i[:5]) + (opac_i,)
-        + tuple(chans_i[6:9]), num_keys=2)
-    gid_t = ts_ops[2]
-    chans_t = ts_ops[3:] + (ts_ops[1],)   # depth key doubles as attr row 9
+    # same by float value and by bit pattern).  Culled/padding instances
+    # must never composite: their opacity is zeroed (in packed mode by
+    # masking the low bf16 half in place). ---------------------------------
+    if packed:
+        pco = jnp.where(valid, chans_i[3],
+                        chans_i[3] & jnp.int32(-65536))
+        ts_ops = jax.lax.sort(
+            (tile_id, depth_i, gid_i, mx, my, chans_i[2], pco,
+             chans_i[4], chans_i[5]), num_keys=2)
+        gid_t = ts_ops[2]
+        ca_t, cb_t = _unpack2(ts_ops[5])
+        cc_t, op_t = _unpack2(ts_ops[6])
+        r_t, g_t = _unpack2(ts_ops[7])
+        chans_t = (ts_ops[3], ts_ops[4], ca_t, cb_t, cc_t, op_t,
+                   r_t, g_t, ts_ops[8], ts_ops[1])
+    else:
+        opac_i = jnp.where(valid, op, 0.0)
+        ts_ops = jax.lax.sort(
+            (tile_id, depth_i, gid_i) + tuple(chans_i[:5]) + (opac_i,)
+            + tuple(chans_i[6:9]), num_keys=2)
+        gid_t = ts_ops[2]
+        chans_t = ts_ops[3:] + (ts_ops[1],)  # depth key doubles as row 9
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     start = jnp.searchsorted(ts_ops[0], tids, side="left").astype(jnp.int32)

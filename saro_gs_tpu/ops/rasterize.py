@@ -49,6 +49,11 @@ class RasterConfig(NamedTuple):
     # VPU doubling (exact), "matmul" = one [K,K] MXU matmul (prefix product
     # via exp∘sum∘log, rel err ~1e-5)
     prefix: str = "roll"
+    # pack (conic_a,conic_b), (conic_c,opacity), (r,g) as bf16 pairs in the
+    # binning sort payloads (pallas path only): ~25% fewer sort bytes; the
+    # depth KEY stays f32 so composite order is exact, but those six attr
+    # values quantize (rel err ~2^-9 — visually lossless, not bit-exact)
+    packed: bool = False
 
 
 class RenderOutput(NamedTuple):
@@ -77,7 +82,7 @@ def _forward(statics, means3d, scales, quats, opacities, shs, colors_precomp,
         bins = binning.bin_gaussians_staged(
             pre, opac, grid_x, grid_y, cfg.max_instances, cfg.chunk,
             tile_x=cfg.tile_x, tile_y=cfg.tile_y,
-            corner_cull=cfg.tight_rect)
+            corner_cull=cfg.tight_rect, packed=cfg.packed)
         fwd = tile_kernels.forward_tiles_pallas(
             bins, bg, width, height, cfg.tile_x, cfg.tile_y, cfg.chunk,
             prefix=cfg.prefix)

@@ -37,7 +37,8 @@ def main():
                         chunk=int(os.environ.get("SARO_BENCH_CHUNK", "128")),
                         max_instances=576 * 1024, backend="pallas",
                         max_slots=512,
-                        prefix=os.environ.get("SARO_BENCH_PREFIX", "roll"))
+                        prefix=os.environ.get("SARO_BENCH_PREFIX", "matmul"),
+                        packed=os.environ.get("SARO_BENCH_PACKED", "1") == "1")
     bg = jnp.zeros(3)
     feat = jax.jit(gm.field_feat, static_argnames=("cfg",))(
         params, nets, cfg, fstatic)

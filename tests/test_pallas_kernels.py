@@ -102,3 +102,21 @@ def test_tight_rect_is_exact(rng):
     for x, y in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(y), np.asarray(x),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_packed_payloads_visually_lossless(rng):
+    """packed=True quantizes conic/opacity/rg to bf16 in the sort payloads
+    (depth key stays f32 -> identical composite order): the render must
+    stay visually indistinguishable from the exact path."""
+    cam, meta = make_camera()
+    means, scales, quats, opac, shs = make_gaussians(rng, n=40)
+    bg = np.array([0.1, 0.2, 0.3], np.float32)
+    exact = CFG_PALLAS._replace(tight_rect=True)
+    packed = exact._replace(packed=True)
+    a = _render(exact, cam, meta, means, scales, quats, opac, shs, bg)
+    b = _render(packed, cam, meta, means, scales, quats, opac, shs, bg)
+    ca, cb = np.asarray(a.color), np.asarray(b.color)
+    assert np.abs(ca - cb).max() < 0.02, np.abs(ca - cb).max()
+    mse = float(np.mean((ca - cb) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 45.0, psnr
