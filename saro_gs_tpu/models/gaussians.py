@@ -88,6 +88,17 @@ def time_embed(cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(outs, axis=-1)
 
 
+def time_embed_cols(cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """time_embed on a 1-D [N] column, stacked to [E, N] rows (the layout
+    apply_mlp_cols consumes)."""
+    outs = [x]
+    for i in range(cfg.deform_time_encode):
+        f = 2.0 ** i
+        outs.append(jnp.sin(x * f))
+        outs.append(jnp.cos(x * f))
+    return jnp.stack(outs, axis=0)
+
+
 # ---------------------------------------------------------------------------
 # activations (saro_gaussian.py:32-47)
 # ---------------------------------------------------------------------------
@@ -127,8 +138,8 @@ def compute_lifespan(nets: NetParams, cfg: ModelConfig,
                      feat: jnp.ndarray, duration) -> jnp.ndarray:
     """lifespan = (1 - min_scale)*(1 - sigmoid-MLP(feat)) + min_scale
     (saro_gaussian.py:782-785)."""
-    raw = 1.0 - mlp.apply_mlp(nets.opacity_mlp, feat,
-                              final_activation=jax.nn.sigmoid)
+    raw = 1.0 - mlp.apply_mlp_cols(nets.opacity_mlp, feat.T,
+                                   final_activation=jax.nn.sigmoid).T
     min_scale = cfg.min_interval / duration
     return (1.0 - min_scale) * raw + min_scale
 
@@ -170,28 +181,34 @@ def deform(params: GaussianParams, nets: NetParams, cfg: ModelConfig,
     distance = timestamp - t_pos
     state = survival_state(distance / lifespan)
 
-    emb = sg(time_embed(cfg, distance))          # PE detached (:792)
-    df = jnp.concatenate([feat, emb], axis=-1)
-    base_emb = sg(time_embed(cfg, jnp.zeros_like(distance)))
-    base_df = jnp.concatenate([feat, base_emb], axis=-1)
+    # transposed [C, N] activations throughout the heads (see
+    # mlp.apply_mlp_cols): feature rows concat on axis 0, one MXU dot per
+    # layer, outputs transposed back once
+    feat_t = feat.T                                         # [F, N]
+    dist_col = distance.reshape(-1)
+    emb = sg(time_embed_cols(cfg, dist_col))     # PE detached (:792)
+    df = jnp.concatenate([feat_t, emb], axis=0)
+    base_emb = sg(time_embed_cols(cfg, jnp.zeros_like(dist_col)))
+    base_df = jnp.concatenate([feat_t, base_emb], axis=0)
 
-    scale_residual = (mlp.apply_mlp(nets.rot_mlp, base_df)[:, 4:]
-                      if cfg.scale_reg else None)
-    shs_residual = (mlp.apply_mlp(nets.shs_mlp, base_df).reshape(-1, 16, 3)
+    heads = [nets.motion_mlp, nets.rot_mlp, nets.shs_mlp]
+    m_df, rr, shs_df = mlp.apply_heads_cols(heads, df)
+    m_base, rr_base, shs_base = mlp.apply_heads_cols(heads, base_df)
+
+    scale_residual = rr_base[4:].T if cfg.scale_reg else None
+    shs_residual = (shs_base.T.reshape(-1, 16, 3)
                     if cfg.shs_reg else None)
-    motion_residual = (mlp.apply_mlp(nets.motion_mlp, base_df)
-                       if cfg.motion_reg else None)
-    real_xyz = sg(params.xyz + mlp.apply_mlp(nets.motion_mlp, base_df))
+    motion_residual = m_base.T if cfg.motion_reg else None
+    real_xyz = sg(params.xyz + m_base.T)
 
     if cfg.dx:
-        xyz = params.xyz + mlp.apply_mlp(nets.motion_mlp, df)
+        xyz = params.xyz + m_df.T
     else:
         xyz = params.xyz
 
     if cfg.drot:
-        rr = mlp.apply_mlp(nets.rot_mlp, df)
-        rot = math3d.quat_normalize(params.rotation + rr[:, :4])
-        scaling = jnp.exp(params.scaling + rr[:, 4:])
+        rot = math3d.quat_normalize(params.rotation + rr[:4].T)
+        scaling = jnp.exp(params.scaling + rr[4:].T)
     else:
         rot = get_rotation(params)
         scaling = get_scaling(params)
@@ -203,7 +220,7 @@ def deform(params: GaussianParams, nets: NetParams, cfg: ModelConfig,
 
     shs = get_features(params)
     if cfg.dsh:
-        shs = shs + mlp.apply_mlp(nets.shs_mlp, df).reshape(-1, 16, 3)
+        shs = shs + shs_df.T.reshape(-1, 16, 3)
 
     return DeformOut(xyz=xyz, rotation=rot, scaling=scaling, opacity=opacity,
                      shs=shs, lifespan=lifespan, state=state,
