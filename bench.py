@@ -53,7 +53,8 @@ def main():
                         backend="pallas" if on_tpu else "jax",
                         max_slots=512,
                         prefix=os.environ.get("SARO_BENCH_PREFIX", "matmul"),
-                        packed=os.environ.get("SARO_BENCH_PACKED", "1") == "1")
+                        packed=os.environ.get("SARO_BENCH_PACKED", "1") == "1",
+                        expander=os.environ.get("SARO_BENCH_EXPAND", "pallas"))
     bg = jnp.zeros(3)
     feat = jax.jit(gm.field_feat, static_argnames=("cfg",))(
         params, nets, cfg, fstatic)

@@ -204,24 +204,29 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
                          grid_x: int, grid_y: int, max_instances: int,
                          chunk: int, tile_x: int = 0, tile_y: int = 0,
                          corner_cull: bool = True,
-                         packed: bool = False) -> StagedBins:
+                         packed: bool = False,
+                         expander: str = "sort") -> StagedBins:
     """Gather-free binning for the Pallas fast path.
 
     The profile showed XLA gathers (table[ids] staging at instance
     count) dominating the frame at ~16ns/element while sorts/scans are
-    fast; so all ten per-instance attributes travel as sort payloads,
-    and the whole pipeline is exactly TWO sorts over N + MI rows:
+    fast; so all ten per-instance attributes travel as sort payloads:
 
-      1. expand to instances by a merge-spread IN EMISSION ORDER:
-         stable-sort gaussian rows (key = first owned slot, from the
-         exclusive cumsum of tiles_touched) together with the mi slot
-         rows, then segmented-forward-fill (TPU scatters serialize per
-         update; sorts and the two-level fill vectorize),
+      1. expand to instances (``expander``):
+         * "sort": a merge-spread IN EMISSION ORDER — stable-sort
+           gaussian rows (key = first owned slot, from the exclusive
+           cumsum of tiles_touched) together with the mi slot rows, then
+           segmented-forward-fill (TPU scatters serialize per update;
+           sorts and the two-level fill vectorize),
+         * "pallas": tile_kernels.expand_rows_pallas — per output chunk,
+           the owner rank is a vectorized count (#offsets <= slot) over a
+           windowed gaussian table and the spread is an exact one-hot MXU
+           matmul.  Bit-identical to "sort", ~4x cheaper, and the final
+           sort shrinks from N+MI to MI rows (no gaussian-row tail).
       2. one stable 2-key (tile, depth) sort of the instance table —
          reproducing the reference's radix sort of tile<<32|depth-bits
          keys (rasterizer_impl.cu:275-319) without a gaussian depth
-         pre-sort; gaussian rows carry the sentinel tile and sort to
-         the dropped tail,
+         pre-sort,
       3. per-tile [start, count) via searchsorted, UNALIGNED — kernels
          DMA chunk-aligned envelopes and mask boundary rows, so no
          alignment dummies ride the sort.
@@ -233,81 +238,153 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
 
     opacity = opacity.reshape(-1).astype(f32)
     rw = jnp.maximum(pre.rmax_x - pre.rmin_x, 1)
-    meta = (pre.rmin_x + (pre.rmin_y << 11) + (rw << 22))
-    if packed:
-        # ``packed``: (conic_a,conic_b), (conic_c,opacity), (r,g) ride the
-        # two sorts as single int32 payloads of bf16 halves (means, b and
-        # the depth KEY stay f32, so the composite ORDER is exact; only
-        # those six values quantize, rel err ~2^-9).  3 fewer operands per
-        # sort — the sorts are the frame's HBM bottleneck.
-        chans = (pre.mean_x.astype(f32), pre.mean_y.astype(f32),
-                 _pack2(pre.conic_a, pre.conic_b),
-                 _pack2(pre.conic_c, opacity),
-                 _pack2(pre.rgb_r, pre.rgb_g),
-                 pre.rgb_b.astype(f32), pre.depth.astype(f32))
-    else:
-        chans = (pre.mean_x.astype(f32), pre.mean_y.astype(f32),
-                 pre.conic_a.astype(f32), pre.conic_b.astype(f32),
-                 pre.conic_c.astype(f32), opacity,
-                 pre.rgb_r.astype(f32), pre.rgb_g.astype(f32),
-                 pre.rgb_b.astype(f32), pre.depth.astype(f32))
 
     tiles = pre.tiles_touched
     offsets = jnp.cumsum(tiles) - tiles
     total = offsets[-1] + tiles[-1] if n > 0 else jnp.int32(0)
 
-    # --- instance expansion as a MERGE-SPREAD (scatter-free): each kept
-    # gaussian row (sort key = its first instance slot) is merged with the
-    # mi slot rows (key = slot id) by one stable sort — gaussian rows
-    # precede their slot on key ties because they come first in the concat
-    # — then a segmented forward-fill propagates each gaussian's attributes
-    # to all slots it owns.  Seeding by scatter instead is SERIAL per
-    # update on TPU (~110 ns -> 22.7 ms/frame at 200k gaussians) while
-    # sorts and the two-level fill are fully vectorized.  Dropped
-    # gaussians (culled, or offsets >= mi when over capacity) get key mi
-    # and sort past every real slot.  Two operands ride FREE: the fill
-    # flag is (meta > 0) — every real gaussian has rw >= 1 so meta >=
-    # 1<<22, slot rows carry 0 — and the owner's first slot is the key
-    # the gaussian row itself carried.
-    gkey = jnp.where((tiles > 0) & (offsets < mi), offsets, mi)
-    zi = jnp.zeros((mi,), jnp.int32)
-    merged = jax.lax.sort(
-        (jnp.concatenate([gkey, jnp.arange(mi, dtype=jnp.int32)]),
-         jnp.concatenate([meta, zi]),
-         # gid rides as gid+1 so the zero fill decodes to -1 (padding)
-         jnp.concatenate([jnp.arange(1, n + 1, dtype=jnp.int32), zi]))
-        + tuple(jnp.concatenate([c, jnp.zeros((mi,), c.dtype)])
-                for c in chans), num_keys=1)
-    key_m, meta_m = merged[0], merged[1]
-    flag = (meta_m > 0).astype(jnp.int32)
-    off0 = jnp.where(flag > 0, key_m, 0)
-    filled = _ffill(flag, [meta_m, off0, merged[2]] + list(merged[3:]))
-    meta_i, off_i = filled[0], filled[1]
-    gid_i = filled[2] - 1
-    chans_i = tuple(filled[3:])
+    if expander == "pallas":
+        from . import tile_kernels
+        k_exp, w_exp = 512, 1280
+        mi_pad = -(-mi // k_exp) * k_exp
+        nchunks = mi_pad // k_exp
+        n_pad = -(-n // 128) * 128 + w_exp
+        # exact owner rank at every chunk boundary, as a compare+reduce
+        # (a searchsorted here is log2(N) serial gather rounds)
+        bounds = jnp.arange(nchunks + 1, dtype=jnp.int32) * k_exp
+        r_bound = jnp.sum((offsets[None, :] <= bounds[:, None])
+                          .astype(jnp.int32), axis=1) - 1
+        g0s = jnp.clip((jnp.clip(r_bound[:-1], 0, n - 1) // 128) * 128,
+                       0, n_pad - w_exp).astype(jnp.int32)
+        over = (r_bound[1:] - g0s) >= w_exp           # window overflow?
 
-    # slot rows: key_m is the instance id; gaussian rows are culled below
-    inst = key_m
-    is_g_m = flag
+        # gaussian table: every value finite and exactly representable in
+        # f32 (floats sanitized; ints < 2^24), so the one-hot matmul
+        # spread is exact
+        def fin(x):
+            return jnp.where(jnp.isfinite(x), x.astype(f32), 0.0)
+        meta_a = pre.rmin_x + (pre.rmin_y << 11)      # 22 bits
+        pad_n = n_pad - n
+
+        def padn(x):
+            return jnp.pad(x, (0, pad_n))
+        offs_row = jnp.pad(offsets.astype(f32), (0, pad_n),
+                           constant_values=float(1 << 23))
+        rows = jnp.stack(
+            [offs_row, padn(meta_a.astype(f32)),
+             padn(jnp.arange(1, n + 1, dtype=jnp.int32).astype(f32)),
+             padn(rw.astype(f32)),
+             padn(fin(pre.mean_x)), padn(fin(pre.mean_y)),
+             padn(fin(pre.conic_a)), padn(fin(pre.conic_b)),
+             padn(fin(pre.conic_c)), padn(fin(opacity)),
+             padn(fin(pre.rgb_r)), padn(fin(pre.rgb_g)),
+             padn(fin(pre.rgb_b)), padn(fin(pre.depth)),
+             jnp.zeros((n_pad,), f32), jnp.zeros((n_pad,), f32)], axis=0)
+        out16 = tile_kernels.expand_rows_pallas(rows, g0s, mi_pad, w_exp,
+                                                k=k_exp)
+
+        def fix(o):
+            # rare window overflow (long culled runs): exact gather repair
+            rb = jnp.clip(jnp.searchsorted(
+                offsets, jnp.arange(mi_pad, dtype=offsets.dtype),
+                side="right") - 1, 0, n - 1)
+            sel = jnp.repeat(over, k_exp)
+            return [jnp.where(sel, rows[i, rb], oi)
+                    for i, oi in enumerate(o)]
+        out16 = jax.lax.cond(jnp.any(over), fix, lambda o: list(o), out16)
+
+        inst = jnp.arange(mi_pad, dtype=jnp.int32)
+        off_i = out16[0].astype(jnp.int32)
+        meta_i = out16[1].astype(jnp.int32)
+        gid_i = out16[2].astype(jnp.int32) - 1
+        rw_i = jnp.maximum(out16[3].astype(jnp.int32), 1)
+        mx, my = out16[4], out16[5]
+        ca, cb, cc, op = out16[6], out16[7], out16[8], out16[9]
+        depth_raw = out16[13]
+        if packed:
+            chans_i = (mx, my, _pack2(ca, cb), _pack2(cc, op),
+                       _pack2(out16[10], out16[11]), out16[12], depth_raw)
+            ca, cb = _unpack2(chans_i[2])    # cull on the rounded values
+            cc, op = _unpack2(chans_i[3])
+        else:
+            chans_i = (mx, my, ca, cb, cc, op,
+                       out16[10], out16[11], out16[12], depth_raw)
+        rminx = meta_i & 0x7FF
+        rminy = meta_i >> 11
+        valid = inst < jnp.minimum(total, mi)
+    else:
+        meta = (pre.rmin_x + (pre.rmin_y << 11) + (rw << 22))
+        if packed:
+            # ``packed``: (conic_a,conic_b), (conic_c,opacity), (r,g) ride
+            # the two sorts as single int32 payloads of bf16 halves (means,
+            # b and the depth KEY stay f32, so the composite ORDER is
+            # exact; only those six values quantize, rel err ~2^-9).
+            # 3 fewer operands per sort.
+            chans = (pre.mean_x.astype(f32), pre.mean_y.astype(f32),
+                     _pack2(pre.conic_a, pre.conic_b),
+                     _pack2(pre.conic_c, opacity),
+                     _pack2(pre.rgb_r, pre.rgb_g),
+                     pre.rgb_b.astype(f32), pre.depth.astype(f32))
+        else:
+            chans = (pre.mean_x.astype(f32), pre.mean_y.astype(f32),
+                     pre.conic_a.astype(f32), pre.conic_b.astype(f32),
+                     pre.conic_c.astype(f32), opacity,
+                     pre.rgb_r.astype(f32), pre.rgb_g.astype(f32),
+                     pre.rgb_b.astype(f32), pre.depth.astype(f32))
+
+        # --- instance expansion as a MERGE-SPREAD (scatter-free): each
+        # kept gaussian row (sort key = its first instance slot) is merged
+        # with the mi slot rows (key = slot id) by one stable sort —
+        # gaussian rows precede their slot on key ties because they come
+        # first in the concat — then a segmented forward-fill propagates
+        # each gaussian's attributes to all slots it owns.  Seeding by
+        # scatter instead is SERIAL per update on TPU (~110 ns -> 22.7
+        # ms/frame at 200k gaussians) while sorts and the two-level fill
+        # are fully vectorized.  Dropped gaussians (culled, or offsets >=
+        # mi when over capacity) get key mi and sort past every real slot.
+        # Two operands ride FREE: the fill flag is (meta > 0) — every real
+        # gaussian has rw >= 1 so meta >= 1<<22, slot rows carry 0 — and
+        # the owner's first slot is the key the gaussian row itself
+        # carried.
+        gkey = jnp.where((tiles > 0) & (offsets < mi), offsets, mi)
+        zi = jnp.zeros((mi,), jnp.int32)
+        merged = jax.lax.sort(
+            (jnp.concatenate([gkey, jnp.arange(mi, dtype=jnp.int32)]),
+             jnp.concatenate([meta, zi]),
+             # gid rides as gid+1 so the zero fill decodes to -1 (padding)
+             jnp.concatenate([jnp.arange(1, n + 1, dtype=jnp.int32), zi]))
+            + tuple(jnp.concatenate([c, jnp.zeros((mi,), c.dtype)])
+                    for c in chans), num_keys=1)
+        key_m, meta_m = merged[0], merged[1]
+        flag = (meta_m > 0).astype(jnp.int32)
+        off0 = jnp.where(flag > 0, key_m, 0)
+        filled = _ffill(flag, [meta_m, off0, merged[2]] + list(merged[3:]))
+        meta_i, off_i = filled[0], filled[1]
+        gid_i = filled[2] - 1
+        chans_i = tuple(filled[3:])
+
+        # slot rows: key_m is the instance id; gaussian rows culled below
+        inst = key_m
+        rminx = meta_i & 0x7FF
+        rminy = (meta_i >> 11) & 0x7FF
+        rw_i = jnp.maximum(meta_i >> 22, 1)   # guard: all-culled prefix
+        valid = ((flag == 0) & (inst < jnp.minimum(total, mi))
+                 & (gid_i >= 0))
+
+        if packed:
+            mx, my = chans_i[0], chans_i[1]
+            ca, cb = _unpack2(chans_i[2])
+            cc, op = _unpack2(chans_i[3])
+            depth_raw = chans_i[6]
+        else:
+            mx, my = chans_i[0], chans_i[1]
+            ca, cb, cc, op = chans_i[2], chans_i[3], chans_i[4], chans_i[5]
+            depth_raw = chans_i[9]
+
     local = inst - off_i
-    rminx = meta_i & 0x7FF
-    rminy = (meta_i >> 11) & 0x7FF
-    rw_i = jnp.maximum(meta_i >> 22, 1)   # guard: all-culled prefix
     tx = rminx + local % rw_i
     ty = rminy + local // rw_i
     tile_id = ty * grid_x + tx
-    valid = ((is_g_m == 0) & (inst < jnp.minimum(total, mi))
-             & (gid_i >= 0))
-
-    if packed:
-        mx, my = chans_i[0], chans_i[1]
-        ca, cb = _unpack2(chans_i[2])
-        cc, op = _unpack2(chans_i[3])
-        depth_raw = chans_i[6]
-    else:
-        mx, my = chans_i[0], chans_i[1]
-        ca, cb, cc, op = chans_i[2], chans_i[3], chans_i[4], chans_i[5]
-        depth_raw = chans_i[9]
 
     if corner_cull and tile_x > 0:
         # drop instances whose max alpha anywhere in the tile is < 1/255 —
@@ -367,10 +444,11 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
 
     # round the buffer up to a chunk multiple so the last tile's aligned
     # envelope DMA stays in bounds (pad: gid -1, opacity 0)
-    tail = (-(n + mi)) % chunk
+    length = gid_t.shape[0]
+    tail = (-length) % chunk
     gid_t = jnp.pad(gid_t, (0, tail), constant_values=-1)
     attr = jnp.stack([jnp.pad(c, (0, tail)) for c in chans_t]
-                     + [jnp.zeros((n + mi + tail,), f32)] * 6, axis=0)
+                     + [jnp.zeros((length + tail,), f32)] * 6, axis=0)
     return StagedBins(attr=attr, ids=gid_t, tile_start=start,
                       tile_count=end - start,
                       num_instances=jnp.minimum(total, mi).astype(jnp.int32),

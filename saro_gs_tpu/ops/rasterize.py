@@ -54,6 +54,10 @@ class RasterConfig(NamedTuple):
     # depth KEY stays f32 so composite order is exact, but those six attr
     # values quantize (rel err ~2^-9 — visually lossless, not bit-exact)
     packed: bool = False
+    # instance expansion: "sort" = merge-spread (stable sort + segmented
+    # ffill over N+MI rows), "pallas" = windowed one-hot-matmul spread
+    # kernel (bit-identical, ~4x cheaper, final sort over MI rows only)
+    expander: str = "sort"
 
 
 class RenderOutput(NamedTuple):
@@ -82,7 +86,8 @@ def _forward(statics, means3d, scales, quats, opacities, shs, colors_precomp,
         bins = binning.bin_gaussians_staged(
             pre, opac, grid_x, grid_y, cfg.max_instances, cfg.chunk,
             tile_x=cfg.tile_x, tile_y=cfg.tile_y,
-            corner_cull=cfg.tight_rect, packed=cfg.packed)
+            corner_cull=cfg.tight_rect, packed=cfg.packed,
+            expander=cfg.expander)
         fwd = tile_kernels.forward_tiles_pallas(
             bins, bg, width, height, cfg.tile_x, cfg.tile_y, cfg.chunk,
             prefix=cfg.prefix)

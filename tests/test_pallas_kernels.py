@@ -120,3 +120,48 @@ def test_packed_payloads_visually_lossless(rng):
     mse = float(np.mean((ca - cb) ** 2))
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr > 45.0, psnr
+
+
+def test_pallas_expander_bit_identical(rng):
+    """The windowed one-hot-matmul expansion kernel must reproduce the
+    merge-spread sort expansion bit-for-bit (same instances, same order,
+    same attribute bits) — for both exact and packed payloads."""
+    cam, meta = make_camera()
+    means, scales, quats, opac, shs = make_gaussians(rng, n=40)
+    bg = np.array([0.2, 0.0, 0.5], np.float32)
+    for pk in (False, True):
+        a = _render(CFG_PALLAS._replace(tight_rect=True, packed=pk),
+                    cam, meta, means, scales, quats, opac, shs, bg)
+        b = _render(CFG_PALLAS._replace(tight_rect=True, packed=pk,
+                                        expander="pallas"),
+                    cam, meta, means, scales, quats, opac, shs, bg)
+        np.testing.assert_array_equal(np.asarray(a.color),
+                                      np.asarray(b.color))
+        np.testing.assert_array_equal(np.asarray(a.depth),
+                                      np.asarray(b.depth))
+        np.testing.assert_array_equal(np.asarray(a.n_contrib),
+                                      np.asarray(b.n_contrib))
+
+
+def test_pallas_expander_grads_match(rng):
+    """Backward through the pallas-expanded path equals the sort path."""
+    cam, meta = make_camera()
+    means, scales, quats, opac, shs = make_gaussians(rng, n=40)
+    bg = np.zeros(3, np.float32)
+    w, h = meta["width"], meta["height"]
+    d_color = jnp.asarray(rng.normal(0, 1, (3, h, w)).astype(np.float32))
+
+    def make_loss(cfg):
+        def loss(m, s, q, o, sh_):
+            out = rasterize(m, s, q, o, cam, jnp.asarray(bg), width=w,
+                            height=h, sh_degree=3, config=cfg, shs=sh_)
+            return jnp.sum(out.color * d_color)
+        return loss
+
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(shs))
+    ga = jax.grad(make_loss(CFG_PALLAS), argnums=tuple(range(5)))(*args)
+    gb = jax.grad(make_loss(CFG_PALLAS._replace(expander="pallas")),
+                  argnums=tuple(range(5)))(*args)
+    for x, y in zip(ga, gb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
