@@ -163,11 +163,18 @@ def _expand_kernel(g0s_ref, rows_hbm, *refs, k, w):
     offs = rows[0:1, :]                                       # [1, W]
     slots = (c * k + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
              ).astype(jnp.float32)                            # [K, 1]
-    cnt = jnp.sum((offs <= slots).astype(jnp.int32), axis=1,
-                  keepdims=True)                              # [K, 1]
-    rloc = cnt - 1
-    oh = (jax.lax.broadcasted_iota(jnp.int32, (k, w), 1) == rloc
-          ).astype(jnp.float32)                               # [K, W]
+    # one-hot of the owner (last j with offs[j] <= slot) by MONOTONE
+    # DIFFERENCE: A[s, j] = (offs[j] <= s) is non-increasing along j
+    # (offs sorted), so A - shift_left(A) is 1 exactly at the owner and 0
+    # elsewhere (ties from zero-tile gaussians collapse to the last).  No
+    # cross-lane count reduce + rank compare (both full [K, W] passes).
+    # The last column's shifted-in 0 claims ownership iff A[s, w-1] = 1 —
+    # exact, because the caller's `over` guard keeps owners inside the
+    # window.  A is {0, 1} so the subtraction is exact in f32.
+    A = (offs <= slots).astype(jnp.float32)                   # [K, W]
+    nxt = pltpu.roll(A, shift=w - 1, axis=1)  # left-by-1 (shift >= 0 only)
+    colw = jax.lax.broadcasted_iota(jnp.int32, (k, w), 1)
+    oh = A - jnp.where(colw == w - 1, 0.0, nxt)               # [K, W]
     # HIGHEST: each f32 splits exactly into bf16 terms, and products by
     # {0.0, 1.0} reconstruct the f32 value exactly (Mosaic supports only
     # DEFAULT — which would quantize the rows to bf16 — and HIGHEST)
