@@ -82,12 +82,16 @@ def main():
     durations = []
     passes = 4 if on_tpu else 1
     for _ in range(passes):
+        outs = []
         for i, ts in enumerate(ts_list):
             if i == warmup:
-                render(ts_list[max(warmup - 1, 0)], feat).block_until_ready()
+                jax.block_until_ready(outs)
+                outs = []
                 t0 = time.time()
-            out = render(ts, feat)
-        out.block_until_ready()
+            outs.append(render(ts, feat))
+        # block on EVERY timed frame (not just the last): robust against
+        # any out-of-order completion in the remote PJRT runtime
+        jax.block_until_ready(outs)
         durations.append((time.time() - t0) / (len(ts_list) - warmup))
     fps = 1.0 / float(np.mean(durations))
     print(json.dumps({
