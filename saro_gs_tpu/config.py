@@ -99,6 +99,17 @@ class Config:
     max_instances: int = 1 << 20
     max_slots: int = 4096          # per-tile cap, pure-JAX backend only
     chunk: int = 128
+    # fast-path kernel flags (benched configuration; see RasterConfig for
+    # semantics).  The parity-exact combination for oracle comparisons is
+    # prefix="roll", packed=False, expander="sort", tight_rect=False.
+    raster_prefix: str = "matmul"
+    raster_packed: bool = True
+    raster_expander: str = "pallas"
+    tight_rect: bool = True
+    # probe one frame at scene load and right-size max_instances (with
+    # densify headroom) before the first train-step compile
+    presize_instances: bool = True
+    presize_factor: float = 6.0
     seed: int = 666
     data_workers: int = 4
     mesh_data: int = 1                 # device-mesh axes (parallel/)
@@ -139,10 +150,15 @@ class Config:
             t = self.tile_size
             return RasterConfig(tile_x=t, tile_y=t, chunk=self.chunk,
                                 max_instances=self.max_instances,
-                                backend="pallas")
+                                backend="pallas",
+                                prefix=self.raster_prefix,
+                                packed=self.raster_packed,
+                                expander=self.raster_expander,
+                                tight_rect=self.tight_rect)
         return RasterConfig(tile_x=16, tile_y=16, chunk=64,
                             max_instances=self.max_instances,
-                            max_slots=self.max_slots, backend="jax")
+                            max_slots=self.max_slots, backend="jax",
+                            tight_rect=self.tight_rect)
 
     def loss_weights(self) -> LossWeights:
         return LossWeights(

@@ -180,8 +180,11 @@ def quick_test_psnr(trainer, cameras: List[Camera], max_views=None) -> float:
     cfg = trainer.cfg
     ev = Evaluator(cfg, trainer.scene)
     cam0 = cameras[0]
-    feat = gm.field_feat(trainer.state.points, trainer.state.nets,
-                         trainer.mcfg, trainer.scene.fstatic)
+    # jitted: an eager field_feat op-dispatches through the TPU tunnel and
+    # stalls for minutes (same caching as render_set / get_deformfeature)
+    feat = jax.jit(gm.field_feat, static_argnames=("cfg",))(
+        trainer.state.points, trainer.state.nets,
+        trainer.mcfg, trainer.scene.fstatic)
     render = ev._render_fn(cam0.width, cam0.height,
                            trainer.active_sh_degree, False)
     vals = []

@@ -85,6 +85,36 @@ class Trainer:
             inv_integral_densify=jnp.ones((cap, 1), jnp.float32),
             step=jnp.zeros((), jnp.int32))
         self.history = []
+        if cfg.presize_instances and scene.info.train_cameras:
+            self._presize_instances()
+
+    def _presize_instances(self):
+        """Right-size the instance capacity before the first train-step jit
+        (mirrors the eval probe, eval.py:96-106).  A mid-run overflow
+        doubles max_instances and re-jits — 10-30 min per compile through
+        the TPU tunnel — so probe one frame now and leave densify headroom
+        (overflow doubling remains as a fallback)."""
+        cfg = self.cfg
+        cam = self.scene.info.train_cameras[0]
+        cp = cam.raster_params()
+        st = self.state
+
+        @jax.jit
+        def probe(points, nets, alive, ts):
+            pkg = train_render(cp, ts, points, nets, alive, self.mcfg,
+                               self.scene.fstatic, self.bg,
+                               width=self.width, height=self.height,
+                               stage="static", sh_degree=0, rcfg=self.rcfg)
+            return pkg.out.num_instances, pkg.out.num_dropped
+
+        inst, dropped = probe(st.points, st.nets, st.alive,
+                              jnp.float32(cam.timestamp))
+        need = int(inst) + int(dropped)
+        cap = 1 << max(int(need * cfg.presize_factor) - 1, 1).bit_length()
+        if cap != self.rcfg.max_instances:
+            print(f"[presize] probe {need} instances -> max_instances "
+                  f"{self.rcfg.max_instances} -> {cap}")
+            self.rcfg = self.rcfg._replace(max_instances=cap)
 
     # ------------------------------------------------------------------
     # jitted pieces
