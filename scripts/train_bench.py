@@ -39,10 +39,16 @@ if __name__ == "__main__":
         scaling=jnp.asarray(np.log(rng.uniform(0.003, 0.02, (n, 3))),
                             jnp.float32))
     cam = _camera(width, height)
-    rcfg = RasterConfig(tile_x=32, tile_y=32, chunk=128,
+    rcfg = RasterConfig(tile_x=32, tile_y=32,
+                        chunk=int(os.environ.get("SARO_BENCH_CHUNK", "128")),
                         max_instances=576 * 1024 if on_tpu else 1 << 14,
                         backend="pallas" if on_tpu else "jax",
-                        max_slots=128)
+                        max_slots=128,
+                        prefix=os.environ.get("SARO_BENCH_PREFIX", "matmul"),
+                        packed=os.environ.get("SARO_BENCH_PACKED",
+                                              "1") == "1",
+                        expander=os.environ.get("SARO_BENCH_EXPAND",
+                                                "pallas"))
     st = step_mod.StepStatics(
         mcfg=cfg, rcfg=rcfg, weights=LossWeights(lambda_dssim=0.2),
         width=width, height=height,
