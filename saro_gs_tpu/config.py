@@ -109,7 +109,8 @@ class Config:
     # probe one frame at scene load and right-size max_instances (with
     # densify headroom) before the first train-step compile
     presize_instances: bool = True
-    presize_factor: float = 6.0
+    presize_factor: float = 3.0
+    overflow_check_every: int = 25     # instance-overflow poll stride
     seed: int = 666
     data_workers: int = 4
     mesh_data: int = 1                 # device-mesh axes (parallel/)

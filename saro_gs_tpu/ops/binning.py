@@ -205,7 +205,8 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
                          chunk: int, tile_x: int = 0, tile_y: int = 0,
                          corner_cull: bool = True,
                          packed: bool = False,
-                         expander: str = "sort") -> StagedBins:
+                         expander: str = "sort",
+                         y0_tiles=0) -> StagedBins:
     """Gather-free binning for the Pallas fast path.
 
     The profile showed XLA gathers (table[ids] staging at instance
@@ -393,8 +394,9 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
         # tiles the 3-sigma ellipse never reaches.  Bound: power(q) =
         # -0.5 q^T C q <= -0.5 lam_min(C) |q|^2 with |q| >= dist(mean,
         # tile rect).
+        # ``y0_tiles``: strip mode — ty is strip-local, means are global
         px0 = (tx * tile_x).astype(f32)
-        py0 = (ty * tile_y).astype(f32)
+        py0 = ((ty + y0_tiles) * tile_y).astype(f32)
         ddx = jnp.maximum(jnp.maximum(px0 - mx,
                                       mx - (px0 + tile_x - 1)), 0.0)
         ddy = jnp.maximum(jnp.maximum(py0 - my,

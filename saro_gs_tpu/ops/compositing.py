@@ -37,14 +37,16 @@ class ForwardTilesOut(NamedTuple):
 
 
 def _tile_pixels(grid_x: int, tile_x: int, tile_y: int, width: int,
-                 height: int, t: jnp.ndarray):
-    """Pixel coordinates (flattened [P]) and inside-mask for tile index t."""
+                 height: int, t: jnp.ndarray, y0_px=0):
+    """Pixel coordinates (flattened [P]) and inside-mask for tile index t.
+
+    ``y0_px`` is a (possibly traced) global pixel-row offset: when rendering
+    a strip of tile rows (parallel/shard.py), ``t`` is strip-local while the
+    splat means are full-frame pixel coordinates."""
     ox = (t % grid_x) * tile_x
-    oy = (t // grid_x) * tile_y
+    oy = (t // grid_x) * tile_y + y0_px
     lx = jnp.arange(tile_x, dtype=jnp.int32)
     ly = jnp.arange(tile_y, dtype=jnp.int32)
-    px = (ox + lx[None, :]).reshape(-1)
-    py = (oy + ly[:, None] * jnp.ones((1, tile_x), jnp.int32)).reshape(-1)
     px = jnp.broadcast_to(ox + lx[None, :], (tile_y, tile_x)).reshape(-1)
     py = jnp.broadcast_to(oy + ly[:, None], (tile_y, tile_x)).reshape(-1)
     inside = (px < width) & (py < height)
@@ -76,9 +78,14 @@ def forward_tiles(point_list: jnp.ndarray,
                   opacity: jnp.ndarray, rgb: jnp.ndarray,
                   depth: jnp.ndarray, bg: jnp.ndarray,
                   width: int, height: int, tile_x: int, tile_y: int,
-                  max_slots: int) -> ForwardTilesOut:
+                  max_slots: int, grid_y_local: int = 0,
+                  y0_px=0) -> ForwardTilesOut:
+    """``grid_y_local``/``y0_px``: render only a strip of tile rows
+    (strip-local binning, global pixel coordinates); outputs keep the full
+    strip height (grid_y_local*tile_y) uncropped."""
     grid_x = (width + tile_x - 1) // tile_x
-    grid_y = (height + tile_y - 1) // tile_y
+    strip = grid_y_local > 0
+    grid_y = grid_y_local if strip else (height + tile_y - 1) // tile_y
     num_tiles = grid_x * grid_y
     f32 = mean2d.dtype
     mean2d = mean2d.astype(f32)
@@ -86,7 +93,7 @@ def forward_tiles(point_list: jnp.ndarray,
 
     def one_tile(t, start, count):
         pxf, pyf, inside = _tile_pixels(grid_x, tile_x, tile_y, width,
-                                        height, t)
+                                        height, t, y0_px)
         p = pxf.shape[0]
         init = (jnp.ones((p,), f32),                 # T
                 jnp.zeros((p, 3), f32),              # C
@@ -121,11 +128,13 @@ def forward_tiles(point_list: jnp.ndarray,
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     color, D, T, nc = jax.vmap(one_tile)(tids, tile_start, tile_count)
 
+    out_rows = grid_y * tile_y if strip else height
+
     def assemble(x, extra_dims=()):
         x = x.reshape((grid_y, grid_x, tile_y, tile_x) + extra_dims)
         x = jnp.moveaxis(x, 2, 1).reshape(
             (grid_y * tile_y, grid_x * tile_x) + extra_dims)
-        return x[:height, :width]
+        return x[:out_rows, :width]
 
     color_img = jnp.moveaxis(assemble(color, (3,)), -1, 0)
     return ForwardTilesOut(color=color_img, depth=assemble(D),
@@ -148,15 +157,22 @@ def backward_tiles(point_list: jnp.ndarray,
                    out_color: jnp.ndarray, final_t: jnp.ndarray,
                    d_color: jnp.ndarray,
                    width: int, height: int, tile_x: int, tile_y: int,
-                   max_slots: int) -> InstanceGrads:
+                   max_slots: int, grid_y_local: int = 0,
+                   y0_px=0) -> InstanceGrads:
     """Per-instance gradients of the compositing stage.
 
     ``d_color`` is dL/d(out_color) [3, H, W].  The depth output has no
     backward, matching the reference (submodules README: depth gradients
     unimplemented; __init__.py backward ignores them).
+
+    In strip mode (``grid_y_local``/``y0_px``) the image tensors are
+    strip-shaped while ``width``/``height`` stay FULL-frame: the NDC
+    mean2d scaling (backward.cu:460-461) must use the full frame dims.
     """
     grid_x = (width + tile_x - 1) // tile_x
-    grid_y = (height + tile_y - 1) // tile_y
+    strip = grid_y_local > 0
+    grid_y = grid_y_local if strip else (height + tile_y - 1) // tile_y
+    img_rows = grid_y * tile_y if strip else height
     num_tiles = grid_x * grid_y
     f32 = mean2d.dtype
     mean2d = mean2d.astype(f32)
@@ -170,19 +186,19 @@ def backward_tiles(point_list: jnp.ndarray,
         if extra_first:
             c = img.shape[0]
             padded = jnp.zeros((c, grid_y * tile_y, grid_x * tile_x), f32)
-            padded = padded.at[:, :height, :width].set(img)
+            padded = padded.at[:, :img_rows, :width].set(img)
             sl = jax.lax.dynamic_slice(
                 padded, (jnp.zeros((), oy.dtype), oy, ox),
                 (c, tile_y, tile_x))
             return sl.reshape(c, -1).T                     # [P, C]
         padded = jnp.zeros((grid_y * tile_y, grid_x * tile_x), f32)
-        padded = padded.at[:height, :width].set(img)
+        padded = padded.at[:img_rows, :width].set(img)
         sl = jax.lax.dynamic_slice(padded, (oy, ox), (tile_y, tile_x))
         return sl.reshape(-1)
 
     def one_tile(t, start, count):
         pxf, pyf, inside = _tile_pixels(grid_x, tile_x, tile_y, width,
-                                        height, t)
+                                        height, t, y0_px)
         p = pxf.shape[0]
         dpix = tile_slice(d_color, t, extra_first=True)        # [P, 3]
         dpix = jnp.where(inside[:, None], dpix, 0.0)

@@ -58,6 +58,11 @@ class RasterConfig(NamedTuple):
     # ffill over N+MI rows), "pallas" = windowed one-hot-matmul spread
     # kernel (bit-identical, ~4x cheaper, final sort over MI rows only)
     expander: str = "sort"
+    # strip mode (tile-axis sharding, parallel/shard.py): render only
+    # ``strip_rows`` tile rows starting at the traced global tile row
+    # ``row0`` passed to ``rasterize``; outputs are [strip_rows*tile_y]
+    # tall, pixel coordinates and NDC gradient scaling stay full-frame
+    strip_rows: int = 0
 
 
 class RenderOutput(NamedTuple):
@@ -70,8 +75,23 @@ class RenderOutput(NamedTuple):
     num_instances: jnp.ndarray  # [] int32 — instances actually emitted
 
 
+def _clip_to_strip(pre, row0i, rows_local: int):
+    """Restrict a full-frame preprocess to tile rows [row0, row0+rows_local)
+    and rebase the rect rows to strip-local coordinates."""
+    rmin_y = jnp.clip(pre.rmin_y - row0i, 0, rows_local)
+    rmax_y = jnp.clip(pre.rmax_y - row0i, 0, rows_local)
+    tiles = ((rmax_y - rmin_y) * (pre.rmax_x - pre.rmin_x)).astype(jnp.int32)
+    mask = pre.mask & (tiles > 0)
+    tiles = jnp.where(mask, tiles, 0)
+    return pre._replace(
+        rmin_y=rmin_y, rmax_y=rmax_y,
+        rect_min=jnp.stack([pre.rmin_x, rmin_y], -1),
+        rect_max=jnp.stack([pre.rmax_x, rmax_y], -1),
+        tiles_touched=tiles, mask=mask)
+
+
 def _forward(statics, means3d, scales, quats, opacities, shs, colors_precomp,
-             cam, bg, active):
+             cam, bg, active, row0):
     width, height, sh_degree, cfg = statics
     pre = projection.preprocess(
         means3d, scales, quats, opacities, cam, width, height,
@@ -79,7 +99,15 @@ def _forward(statics, means3d, scales, quats, opacities, shs, colors_precomp,
         colors_precomp=colors_precomp, active=active,
         tight_rect=cfg.tight_rect)
     grid_x = (width + cfg.tile_x - 1) // cfg.tile_x
-    grid_y = (height + cfg.tile_y - 1) // cfg.tile_y
+    strip = cfg.strip_rows > 0
+    if strip:
+        row0i = (jnp.zeros((), jnp.int32) if row0 is None
+                 else row0.astype(jnp.int32))
+        pre = _clip_to_strip(pre, row0i, cfg.strip_rows)
+        grid_y = cfg.strip_rows
+    else:
+        row0i = jnp.zeros((), jnp.int32)
+        grid_y = (height + cfg.tile_y - 1) // cfg.tile_y
     opac = opacities.reshape(-1)
     if cfg.backend == "pallas":
         from . import tile_kernels
@@ -87,26 +115,28 @@ def _forward(statics, means3d, scales, quats, opacities, shs, colors_precomp,
             pre, opac, grid_x, grid_y, cfg.max_instances, cfg.chunk,
             tile_x=cfg.tile_x, tile_y=cfg.tile_y,
             corner_cull=cfg.tight_rect, packed=cfg.packed,
-            expander=cfg.expander)
+            expander=cfg.expander, y0_tiles=row0i)
         fwd = tile_kernels.forward_tiles_pallas(
             bins, bg, width, height, cfg.tile_x, cfg.tile_y, cfg.chunk,
-            prefix=cfg.prefix)
+            prefix=cfg.prefix, grid_y_local=cfg.strip_rows,
+            y0_tiles=row0i)
     else:
         bins = binning.bin_gaussians(pre, grid_x, grid_y, cfg.max_instances,
                                      cfg.chunk)
         fwd = compositing.forward_tiles(
             bins.point_list, bins.tile_start, bins.tile_count,
             pre.mean2d, pre.conic, opac, pre.rgb, pre.depth,
-            bg, width, height, cfg.tile_x, cfg.tile_y, cfg.max_slots)
+            bg, width, height, cfg.tile_x, cfg.tile_y, cfg.max_slots,
+            grid_y_local=cfg.strip_rows, y0_px=row0i * cfg.tile_y)
     return pre, bins, fwd
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _rasterize(statics, means3d, scales, quats, opacities, shs,
-               colors_precomp, mean2d_dummy, cam, bg, active):
+               colors_precomp, mean2d_dummy, cam, bg, active, row0):
     del mean2d_dummy
     pre, bins, fwd = _forward(statics, means3d, scales, quats, opacities,
-                              shs, colors_precomp, cam, bg, active)
+                              shs, colors_precomp, cam, bg, active, row0)
     return RenderOutput(color=fwd.color, depth=fwd.depth, radii=pre.radii,
                         final_t=fwd.final_t, n_contrib=fwd.n_contrib,
                         num_dropped=bins.num_dropped,
@@ -114,15 +144,15 @@ def _rasterize(statics, means3d, scales, quats, opacities, shs,
 
 
 def _rasterize_fwd(statics, means3d, scales, quats, opacities, shs,
-                   colors_precomp, mean2d_dummy, cam, bg, active):
+                   colors_precomp, mean2d_dummy, cam, bg, active, row0):
     pre, bins, fwd = _forward(statics, means3d, scales, quats, opacities,
-                              shs, colors_precomp, cam, bg, active)
+                              shs, colors_precomp, cam, bg, active, row0)
     out = RenderOutput(color=fwd.color, depth=fwd.depth, radii=pre.radii,
                        final_t=fwd.final_t, n_contrib=fwd.n_contrib,
                        num_dropped=bins.num_dropped,
                        num_instances=bins.num_instances)
     res = (means3d, scales, quats, opacities, shs, colors_precomp, cam, bg,
-           active, pre, bins, fwd)
+           active, row0, pre, bins, fwd)
     return out, res
 
 
@@ -144,17 +174,20 @@ def _conic_to_cov2d_grads(cov2d, d_conic):
 def _rasterize_bwd(statics, res, cot):
     width, height, sh_degree, cfg = statics
     (means3d, scales, quats, opacities, shs, colors_precomp, cam, bg,
-     active, pre, bins, fwd) = res
+     active, row0, pre, bins, fwd) = res
     d_color = cot.color  # depth/radii/final_t/n_contrib are non-differentiable
     n = means3d.shape[0]
     opac = opacities.reshape(-1)
+    row0i = (jnp.zeros((), jnp.int32) if row0 is None
+             else row0.astype(jnp.int32))
 
     if cfg.backend == "pallas":
         from . import tile_kernels
         g16 = tile_kernels.backward_tiles_pallas(
             bins, bg, fwd.color, fwd.final_t, d_color,
             width, height, cfg.tile_x, cfg.tile_y, cfg.chunk,
-            n_contrib=fwd.n_contrib, prefix=cfg.prefix)      # [16, MI]
+            n_contrib=fwd.n_contrib, prefix=cfg.prefix,
+            grid_y_local=cfg.strip_rows, y0_tiles=row0i)     # [16, MI]
         ids = bins.ids
         # per-instance -> per-Gaussian: ONE row-window scatter-add over all
         # grad channels.  The barrier materializes the row-major transpose —
@@ -172,7 +205,8 @@ def _rasterize_bwd(statics, res, cot):
             bins.point_list, bins.tile_start, bins.tile_count,
             pre.mean2d, pre.conic, opac, pre.rgb,
             bg, fwd.color, fwd.final_t, d_color,
-            width, height, cfg.tile_x, cfg.tile_y, cfg.max_slots)
+            width, height, cfg.tile_x, cfg.tile_y, cfg.max_slots,
+            grid_y_local=cfg.strip_rows, y0_px=row0i * cfg.tile_y)
         ids = bins.point_list
 
         # ---- per-instance -> per-Gaussian (deterministic segment sum) ------
@@ -249,8 +283,9 @@ def _rasterize_bwd(statics, res, cot):
     d_cam = jax.tree_util.tree_map(jnp.zeros_like, cam)
     d_bg = jnp.zeros_like(bg)
     d_active = None if active is None else jnp.zeros_like(active)
+    d_row0 = None if row0 is None else jnp.zeros_like(row0)
     return (d_means, d_scales, d_quats, d_opac, d_shs, d_colors_precomp,
-            d_mean2d_out, d_cam, d_bg, d_active)
+            d_mean2d_out, d_cam, d_bg, d_active, d_row0)
 
 
 _rasterize.defvjp(_rasterize_fwd, _rasterize_bwd)
@@ -270,18 +305,24 @@ def rasterize(means3d: jnp.ndarray,
               shs: Optional[jnp.ndarray] = None,
               colors_precomp: Optional[jnp.ndarray] = None,
               mean2d_dummy: Optional[jnp.ndarray] = None,
-              active: Optional[jnp.ndarray] = None) -> RenderOutput:
+              active: Optional[jnp.ndarray] = None,
+              row0=None) -> RenderOutput:
     """Render N Gaussians to one image.
 
     Mirrors ``GaussianRasterizer.forward`` (diff_gaussian_rasterization_ch3/
     __init__.py:134-197) with explicit static shape configuration.
     ``mean2d_dummy`` ([N,2] zeros) receives NDC screen-space gradients.
+    ``row0`` (traced, tile-row units) selects the strip rendered when
+    ``config.strip_rows > 0``.
     """
     if mean2d_dummy is None:
         mean2d_dummy = jnp.zeros((means3d.shape[0], 2), jnp.float32)
     if active is not None:
         # float mask so the custom_vjp cotangent is a plain zero array
         active = active.astype(jnp.float32)
+    if row0 is not None:
+        # float scalar so the custom_vjp cotangent is a plain zero array
+        row0 = jnp.asarray(row0).astype(jnp.float32)
     statics = (int(width), int(height), int(sh_degree), config)
     return _rasterize(statics, means3d, scales, quats, opacities, shs,
-                      colors_precomp, mean2d_dummy, cam, bg, active)
+                      colors_precomp, mean2d_dummy, cam, bg, active, row0)

@@ -112,9 +112,11 @@ def _chunk_alpha(attr, pxf, pyf, k, p):
     return dx, dy, g, alpha, a_eff, ok
 
 
-def _tile_pixel_coords(t, grid_x, tile_x, tile_y, p):
+def _tile_pixel_coords(t, grid_x, tile_x, tile_y, p, y0_tiles=0):
+    """``y0_tiles``: global tile-row offset of this strip (0 = full frame);
+    pixel coordinates are always global so splat means need no rebasing."""
     ox = (t % grid_x) * tile_x
-    oy = (t // grid_x) * tile_y
+    oy = (t // grid_x + y0_tiles) * tile_y
     l = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
     pxf = (ox + l % tile_x).astype(jnp.float32)
     pyf = (oy + l // tile_x).astype(jnp.float32)
@@ -218,7 +220,7 @@ def expand_rows_pallas(rows: jnp.ndarray, g0s: jnp.ndarray, mi_pad: int,
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(starts_ref, counts_ref, attr_hbm,
+def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
                 color_ref, depth_ref, t_ref, nc_ref,
                 attr_vmem, sem,
                 *, k, p, grid_x, tile_x, tile_y, prefix="roll"):
@@ -230,7 +232,7 @@ def _fwd_kernel(starts_ref, counts_ref, attr_hbm,
     astart = pl.multiple_of((start // k) * k, k)
     lead = start - astart
     nchunks = pl.cdiv(lead + count, k)
-    pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p)
+    pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p, y0_ref[0])
     rows = _row_iota(k, p)
 
     def copy_chunk(c, slot):
@@ -320,19 +322,28 @@ def _assemble(x, grid_y, grid_x, tile_y, tile_x, height, width, ch=None):
 
 
 def forward_tiles_pallas(bins, bg, width, height, tile_x, tile_y, chunk,
-                         prefix="roll"):
-    """bins: binning.StagedBins (gather-free staged instance table)."""
+                         prefix="roll", grid_y_local: int = 0,
+                         y0_tiles=None):
+    """bins: binning.StagedBins (gather-free staged instance table).
+
+    ``grid_y_local``/``y0_tiles``: strip mode — bins cover only
+    ``grid_y_local`` tile rows starting at global tile row ``y0_tiles``
+    (traced); outputs keep the full strip height, uncropped."""
     p = tile_x * tile_y
     assert p % 128 == 0, "pallas path needs tile_x*tile_y % 128 == 0"
     k = chunk
     grid_x = (width + tile_x - 1) // tile_x
-    grid_y = (height + tile_y - 1) // tile_y
+    strip = grid_y_local > 0
+    grid_y = grid_y_local if strip else (height + tile_y - 1) // tile_y
+    out_h = grid_y * tile_y if strip else height
     nt = grid_x * grid_y
+    y0 = (jnp.zeros((1,), jnp.int32) if y0_tiles is None
+          else jnp.asarray(y0_tiles, jnp.int32).reshape(1))
 
     kern = functools.partial(_fwd_kernel, k=k, p=p, grid_x=grid_x,
                              tile_x=tile_x, tile_y=tile_y, prefix=prefix)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nt,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
@@ -354,19 +365,19 @@ def forward_tiles_pallas(bins, bg, width, height, tile_x, tile_y, chunk,
             jax.ShapeDtypeStruct((nt, 1, p), jnp.int32),
         ],
         interpret=_interpret(),
-    )(bins.tile_start, bins.tile_count, bins.attr)
+    )(bins.tile_start, bins.tile_count, y0, bins.attr)
 
-    color_img = _assemble(color, grid_y, grid_x, tile_y, tile_x, height,
+    color_img = _assemble(color, grid_y, grid_x, tile_y, tile_x, out_h,
                           width, ch=3)
-    t_img = _assemble(t_fin[:, 0], grid_y, grid_x, tile_y, tile_x, height,
+    t_img = _assemble(t_fin[:, 0], grid_y, grid_x, tile_y, tile_x, out_h,
                       width)
     color_img = color_img + t_img[None] * bg.astype(jnp.float32)[:, None, None]
     return ForwardTilesOut(
         color=color_img,
-        depth=_assemble(dep[:, 0], grid_y, grid_x, tile_y, tile_x, height,
+        depth=_assemble(dep[:, 0], grid_y, grid_x, tile_y, tile_x, out_h,
                         width),
         final_t=t_img,
-        n_contrib=_assemble(nc[:, 0], grid_y, grid_x, tile_y, tile_x, height,
+        n_contrib=_assemble(nc[:, 0], grid_y, grid_x, tile_y, tile_x, out_h,
                             width))
 
 
@@ -374,7 +385,7 @@ def forward_tiles_pallas(bins, bg, width, height, tile_x, tile_y, chunk,
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(starts_ref, counts_ref, attr_hbm, dpix_ref, cfg_ref,
+def _bwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm, dpix_ref, cfg_ref,
                 tfin_ref, bg_ref, gzero_hbm,
                 grads_hbm,
                 attr_vmem, gout_vmem, gprev_vmem, sem_in, sem_out, sem_prev,
@@ -387,7 +398,7 @@ def _bwd_kernel(starts_ref, counts_ref, attr_hbm, dpix_ref, cfg_ref,
     astart = pl.multiple_of((start // k) * k, k)
     lead = start - astart
     nchunks = pl.cdiv(lead + count, k)
-    pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p)
+    pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p, y0_ref[0])
     rows = _row_iota(k, p)
     dpix = dpix_ref[0]                    # [3, P]
     c_fg = cfg_ref[0]                     # [3, P]
@@ -532,16 +543,24 @@ def _tileify(img, grid_y, grid_x, tile_y, tile_x, ch=None):
 
 def backward_tiles_pallas(bins, bg, out_color, final_t, d_color,
                           width, height, tile_x, tile_y, chunk,
-                          n_contrib=None, prefix="roll"):
+                          n_contrib=None, prefix="roll",
+                          grid_y_local: int = 0, y0_tiles=None):
     """bins: binning.StagedBins.  Returns per-instance gradients aligned
-    with ``bins.ids`` (unaligned layout, zero for never-visited slots)."""
+    with ``bins.ids`` (unaligned layout, zero for never-visited slots).
+
+    In strip mode the image tensors are strip-shaped; ``width``/``height``
+    stay FULL-frame — the kernel's NDC mean2d scaling (backward.cu:460-461)
+    must use the full frame dims."""
     p = tile_x * tile_y
     k = chunk
     grid_x = (width + tile_x - 1) // tile_x
-    grid_y = (height + tile_y - 1) // tile_y
+    strip = grid_y_local > 0
+    grid_y = grid_y_local if strip else (height + tile_y - 1) // tile_y
     nt = grid_x * grid_y
     mi_buf = bins.attr.shape[1]
     f32 = jnp.float32
+    y0 = (jnp.zeros((1,), jnp.int32) if y0_tiles is None
+          else jnp.asarray(y0_tiles, jnp.int32).reshape(1))
 
     tile_count = bins.tile_count
     # clamp each tile's walk to its max contributing slot (the reference's
@@ -560,14 +579,14 @@ def backward_tiles_pallas(bins, bg, out_color, final_t, d_color,
                       ch=3)
     cfg_t = _tileify(c_fg, grid_y, grid_x, tile_y, tile_x, ch=3)
     tfin_t = _tileify(final_t.astype(f32), grid_y, grid_x, tile_y, tile_x)
-    bg_t = jnp.broadcast_to(bgc, (3, height, width))
+    bg_t = jnp.broadcast_to(bgc, out_color.shape)
     bg_t = _tileify(bg_t, grid_y, grid_x, tile_y, tile_x, ch=3)
 
     kern = functools.partial(_bwd_kernel, k=k, p=p, grid_x=grid_x,
                              tile_x=tile_x, tile_y=tile_y, width=width,
                              height=height, prefix=prefix)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                 # attr
@@ -591,11 +610,11 @@ def backward_tiles_pallas(bins, bg, out_color, final_t, d_color,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((_GROWS, mi_buf), jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        # flat-input indexing includes the 2 scalar-prefetch operands
-        input_output_aliases={7: 0},
+        # flat-input indexing includes the 3 scalar-prefetch operands
+        input_output_aliases={8: 0},
         interpret=_interpret(),
-    )(bins.tile_start, tile_count, bins.attr, dpix_t, cfg_t, tfin_t, bg_t,
-      gzero)[0]
+    )(bins.tile_start, tile_count, y0, bins.attr, dpix_t, cfg_t, tfin_t,
+      bg_t, gzero)[0]
 
     # raw channel-major per-instance grads [16, MI]; the caller transposes
     # ONCE to row-major and segment-sums all channels in a single

@@ -4,10 +4,15 @@ Two parallel axes, per SURVEY.md §2.3:
   * ``data``   — views of the training batch, one (or more) per device;
     gradients/stats are psum-merged — exactly the reference's sequential
     batch-gradient accumulation, executed concurrently,
-  * ``tile``   — rows of the tile grid of a single large render; tiles are
-    independent so per-device compositing is exact, per-Gaussian gradients
-    are partial sums over the device's pixels -> psum.
+  * ``tile``   — strips of tile rows of every render; tiles are
+    independent so per-device compositing is exact; per-Gaussian gradients
+    are partial sums over the device's pixels -> psum over ``tile``
+    (the SP/CP analogue; reference backward hot loop backward.cu:399-557).
 
+The axes compose: a (data, tile) mesh runs each data-shard's view batch
+with every render strip-sharded over ``tile``.  The full rasterizer
+(SH, depth, custom VJP, pallas or jax backend) participates via
+``RasterConfig.strip_rows`` + the traced ``row0`` input (ops/rasterize.py).
 Everything lowers to XLA collectives over ICI/DCN via ``shard_map``; there
 is no custom communication layer.
 """
@@ -21,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops import binning, compositing, projection
+from ..ops.rasterize import RasterConfig, rasterize
 from ..train import step as step_mod
 
 
@@ -35,20 +40,21 @@ def make_mesh(n_data: int = 1, n_tile: int = 1,
 
 
 # ---------------------------------------------------------------------------
-# data-parallel training step
+# data x tile parallel training step
 # ---------------------------------------------------------------------------
 
 def dp_train_step(state, cams, gt, timestamps, bg, fstatic,
                   st: step_mod.StepStatics, *, stage: str, sh_degree: int,
-                  scale_integral: bool, n_data: int):
-    """Training step with the view batch sharded over the ``data`` axis.
+                  scale_integral: bool, n_data: int, n_tile: int = 1):
+    """Training step over a (data, tile) mesh.
 
-    The model state is replicated; each device runs its local views through
-    ``train_step_core`` with psum-merged gradients, so all devices compute
-    an identical update (like the reference's batch mean,
-    saro_gaussian.set_batch_gradient:266-281).
+    The view batch is sharded over ``data`` (the reference's batch mean,
+    saro_gaussian.set_batch_gradient:266-281, as a pmean); each view's
+    render is strip-sharded over ``tile`` with per-Gaussian cotangents
+    psum'd.  Model state is replicated; all devices compute an identical
+    update.
     """
-    mesh = make_mesh(n_data, 1)
+    mesh = make_mesh(n_data, n_tile)
     batch_spec = P("data")
     rep = P()
 
@@ -56,7 +62,8 @@ def dp_train_step(state, cams, gt, timestamps, bg, fstatic,
         return step_mod.train_step_core(
             state, cams, gt, timestamps, bg_, fstatic_, st, stage=stage,
             sh_degree=sh_degree, scale_integral=scale_integral,
-            axis_name="data")
+            axis_name="data" if n_data > 1 else None,
+            axis_tile="tile" if n_tile > 1 else None, n_tile=n_tile)
 
     fn = jax.shard_map(
         inner, mesh=mesh,
@@ -74,54 +81,42 @@ def tile_sharded_render(means3d, scales, quats, opacities, rgb_precomp,
                         tile_x: int = 16, tile_y: int = 16,
                         chunk: int = 64, max_instances: int = 1 << 18,
                         max_slots: int = 1024, n_tile: int = 2,
-                        mesh: Optional[Mesh] = None):
-    """Forward render with the tile-row grid sharded over ``tile``.
+                        mesh: Optional[Mesh] = None,
+                        backend: str = "jax",
+                        shs=None, sh_degree: int = 0,
+                        config: Optional[RasterConfig] = None):
+    """Forward render with the tile-row grid strip-sharded over ``tile``.
 
-    Gaussians are replicated (preprocess is cheap); each device bins and
-    composites its strip of tile rows; the strips are reassembled by the
-    out_spec.  Exact: tiles are independent in the forward.
+    Runs the FULL rasterizer per strip (any backend, SH or precomputed
+    colors, depth/median semantics intact); Gaussians are replicated
+    (preprocess is cheap), each device bins + composites its strip, and
+    the strips reassemble via the out_spec.  Any image height works — the
+    tile grid is padded to a multiple of ``n_tile`` strips and cropped.
     """
     if mesh is None:
         mesh = make_mesh(1, n_tile)
-    grid_x = (width + tile_x - 1) // tile_x
-    grid_y = (height + tile_y - 1) // tile_y
-    assert grid_y % n_tile == 0, (grid_y, n_tile)
-    rows_local = grid_y // n_tile
-    h_pad = grid_y * tile_y
-    rep = P()
+    if config is None:
+        config = RasterConfig(tile_x=tile_x, tile_y=tile_y, chunk=chunk,
+                              max_instances=max_instances,
+                              max_slots=max_slots, backend=backend)
+    grid_y = (height + config.tile_y - 1) // config.tile_y
+    rows_local = (grid_y + n_tile - 1) // n_tile
+    cfg = config._replace(strip_rows=rows_local)
+    use_shs = shs is not None
+    color_arg = shs if use_shs else rgb_precomp
 
-    def strip(idx_arr, means3d, scales, quats, opacities, rgb_precomp,
-              cam, bg):
-        row0 = idx_arr[0]
-        pre = projection.preprocess(
-            means3d, scales, quats, opacities, cam, width, height,
-            tile_x, tile_y, colors_precomp=rgb_precomp)
-        # clip each splat's tile rect to this device's rows and rebase
-        rm = pre.rect_min.at[:, 1].set(
-            jnp.clip(pre.rect_min[:, 1] - row0, 0, rows_local))
-        rx = pre.rect_max.at[:, 1].set(
-            jnp.clip(pre.rect_max[:, 1] - row0, 0, rows_local))
-        tiles = ((rx[:, 1] - rm[:, 1]) * (rx[:, 0] - rm[:, 0])).astype(
-            jnp.int32)
-        mask = pre.mask & (tiles > 0)
-        tiles = jnp.where(mask, tiles, 0)
-        pre_local = pre._replace(rect_min=rm, rect_max=rx,
-                                 tiles_touched=tiles, mask=mask)
-        bins = binning.bin_gaussians(pre_local, grid_x, rows_local,
-                                     max_instances, chunk)
-        fwd = compositing.forward_tiles(
-            bins.point_list, bins.tile_start, bins.tile_count,
-            pre.mean2d - jnp.array([0.0, row0 * tile_y]),  # strip-local px
-            pre.conic, opacities.reshape(-1), pre.rgb, pre.depth, bg,
-            width, rows_local * tile_y, tile_x, tile_y, max_slots)
-        return fwd.color  # [3, rows_local*tile_y, width]
-
-    device_rows = jnp.arange(n_tile, dtype=jnp.int32) * rows_local
+    def strip(means3d, scales, quats, opacities, color_arg, cam, bg):
+        row0 = jax.lax.axis_index("tile") * rows_local
+        out = rasterize(
+            means3d, scales, quats, opacities, cam, bg,
+            width=width, height=height, sh_degree=sh_degree, config=cfg,
+            shs=color_arg if use_shs else None,
+            colors_precomp=None if use_shs else color_arg, row0=row0)
+        return out.color  # [3, rows_local*tile_y, W]
 
     fn = jax.shard_map(
         strip, mesh=mesh,
-        in_specs=(P("tile"), P(), P(), P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
         out_specs=P(None, "tile", None), check_vma=False)
-    img = fn(device_rows, means3d, scales, quats, opacities, rgb_precomp,
-             cam, bg)
+    img = fn(means3d, scales, quats, opacities, color_arg, cam, bg)
     return img[:, :height, :]

@@ -34,20 +34,21 @@ def train_render(cam: CameraParams, timestamp,
                  width: int, height: int, stage: str, sh_degree: int,
                  rcfg: RasterConfig,
                  mean2d_dummy: Optional[jnp.ndarray] = None,
-                 feat: Optional[jnp.ndarray] = None) -> RenderPackage:
+                 feat: Optional[jnp.ndarray] = None,
+                 row0=None) -> RenderPackage:
     if stage == "dynamatic":
         d = gm.deform(params, nets, mcfg, fstatic, timestamp, feat=feat)
         out = rasterize(d.xyz, d.scaling, d.rotation, d.opacity.reshape(-1),
                         cam, bg, width=width, height=height,
                         sh_degree=sh_degree, config=rcfg, shs=d.shs,
-                        mean2d_dummy=mean2d_dummy, active=alive)
+                        mean2d_dummy=mean2d_dummy, active=alive, row0=row0)
         return RenderPackage(out=out, deform=d)
     out = rasterize(params.xyz, gm.get_scaling(params),
                     gm.get_rotation(params),
                     gm.get_opacity(params).reshape(-1), cam, bg,
                     width=width, height=height, sh_degree=sh_degree,
                     config=rcfg, shs=gm.get_features(params),
-                    mean2d_dummy=mean2d_dummy, active=alive)
+                    mean2d_dummy=mean2d_dummy, active=alive, row0=row0)
     return RenderPackage(out=out, deform=None)
 
 

@@ -48,10 +48,30 @@ def _masked_std(x, mask):
 
 
 def batch_loss_fn(points, nets, m2d, *, cams, gt, timestamps, alive, bg,
-                  fstatic, st: StepStatics, stage: str, sh_degree: int):
+                  fstatic, st: StepStatics, stage: str, sh_degree: int,
+                  axis_tile: Optional[str] = None, n_tile: int = 1):
     """Mean loss over the (local) view batch; aux = (radii, ll1, dropped,
-    last image)."""
+    last image).
+
+    With ``axis_tile`` set (inside shard_map over a ``tile`` mesh axis),
+    each device renders its strip of tile rows, the strips are
+    all-gathered into the full frame, and the IDENTICAL full-frame loss is
+    computed on every device, scaled by 1/n_tile.  Every device
+    differentiates its own copy, so the effective objective is
+    sum_over_devices(L/n) = L: the all_gather transpose delivers each
+    device n_tile * (its strip's image cotangent) / n_tile = exactly its
+    strip's share, and replicated regularizer gradients appear once per
+    device at 1/n_tile strength — a psum over ``axis_tile`` in the caller
+    therefore yields the exact full-frame gradient for every term."""
     mcfg, rcfg, weights = st.mcfg, st.rcfg, st.weights
+    row0 = None
+    loss_scale = 1.0
+    if axis_tile is not None:
+        grid_y = (st.height + rcfg.tile_y - 1) // rcfg.tile_y
+        rows_local = (grid_y + n_tile - 1) // n_tile
+        rcfg = rcfg._replace(strip_rows=rows_local)
+        row0 = jax.lax.axis_index(axis_tile) * rows_local
+        loss_scale = 1.0 / n_tile
     alive_col = alive[:, None]
     batch = gt.shape[0]
 
@@ -69,10 +89,16 @@ def batch_loss_fn(points, nets, m2d, *, cams, gt, timestamps, alive, bg,
             cam, timestamps[i], points, nets, alive, mcfg, fstatic, bg,
             width=st.width, height=st.height, stage=stage,
             sh_degree=sh_degree, rcfg=rcfg, mean2d_dummy=m2d[i],
-            feat=feat)
+            feat=feat, row0=row0)
+        color = pkg.out.color
+        if axis_tile is not None:
+            # strips -> full frame; the transpose routes each device its
+            # own strip's cotangent
+            color = jax.lax.all_gather(color, axis_tile, axis=1,
+                                       tiled=True)[:, :st.height, :]
         d = pkg.deform
         loss, logs = losses.composite_loss(
-            weights, pkg.out.color, gt[i],
+            weights, color, gt[i],
             t_centers=None,
             scale_residual=(None if d is None or d.scale_residual is None
                             else d.scale_residual * alive_col),
@@ -89,8 +115,8 @@ def batch_loss_fn(points, nets, m2d, *, cams, gt, timestamps, alive, bg,
             ltstd = 1.0 - _masked_std(
                 gm.get_temporal_pos(points, mcfg)[:, 0], alive)
             loss = loss + weights.lambda_dtstd * ltstd
-        return loss, (pkg.out.radii, logs["Ll1"], pkg.out.num_dropped,
-                      pkg.out.color)
+        return loss * loss_scale, (pkg.out.radii, logs["Ll1"],
+                                   pkg.out.num_dropped, color)
 
     losses_all, (radii, ll1s, dropped, colors) = jax.lax.map(
         one_view, jnp.arange(batch))
@@ -133,9 +159,12 @@ def lr_trees(step, inv_integral, points_tpl, nets_tpl, st: StepStatics,
 def train_step_core(state, cams, gt, timestamps, bg, fstatic,
                     st: StepStatics, *, stage: str, sh_degree: int,
                     scale_integral: bool,
-                    axis_name: Optional[str] = None):
+                    axis_name: Optional[str] = None,
+                    axis_tile: Optional[str] = None, n_tile: int = 1):
     """One full optimization step; under ``shard_map`` pass ``axis_name``
-    to average gradients / merge stats across the data axis."""
+    to average gradients / merge stats across the data axis, and/or
+    ``axis_tile`` to shard each render over tile rows (per-Gaussian
+    cotangents are partial sums over the device's pixels -> psum)."""
     cap = state.alive.shape[0]
     batch = gt.shape[0]
     m2d0 = jnp.zeros((batch, cap, 2), jnp.float32)
@@ -144,12 +173,23 @@ def train_step_core(state, cams, gt, timestamps, bg, fstatic,
         return batch_loss_fn(points, nets, m2d, cams=cams, gt=gt,
                              timestamps=timestamps, alive=state.alive,
                              bg=bg, fstatic=fstatic, st=st, stage=stage,
-                             sh_degree=sh_degree)
+                             sh_degree=sh_degree, axis_tile=axis_tile,
+                             n_tile=n_tile)
 
     (loss, (radii, ll1, dropped, last_img)), grads = \
         jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
             state.points, state.nets, m2d0)
     g_points, g_nets, g_m2d = grads
+
+    if axis_tile is not None:
+        # per-Gaussian grads are partial sums over this device's strip
+        # pixels (SURVEY §2.3: the SP/CP analogue); the 1/n_tile loss
+        # scaling in batch_loss_fn makes this psum exact for every term
+        g_points = jax.lax.psum(g_points, axis_tile)
+        g_nets = jax.lax.psum(g_nets, axis_tile)
+        g_m2d = jax.lax.psum(g_m2d, axis_tile)
+        dropped = jax.lax.pmax(dropped, axis_tile)
+        loss = loss * n_tile  # undo the reporting scale
 
     # densify stats (train.py:278-292).  The reference accumulates the
     # screen-grad norm of each view's OWN loss; our batch loss is the mean

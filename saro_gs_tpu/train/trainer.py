@@ -110,7 +110,10 @@ class Trainer:
         inst, dropped = probe(st.points, st.nets, st.alive,
                               jnp.float32(cam.timestamp))
         need = int(inst) + int(dropped)
-        cap = 1 << max(int(need * cfg.presize_factor) - 1, 1).bit_length()
+        # snug multiple of 64k (NOT a power of two — the sort/scan cost
+        # scales linearly with the capacity, so pow2 rounding can nearly
+        # double the per-step cost for nothing)
+        cap = -(-int(need * cfg.presize_factor) // 65536) * 65536
         if cap != self.rcfg.max_instances:
             print(f"[presize] probe {need} instances -> max_instances "
                   f"{self.rcfg.max_instances} -> {cap}")
@@ -136,12 +139,13 @@ class Trainer:
                     scale_integral: bool):
         # ``st`` is passed explicitly (not via self) so mutating
         # self.rcfg — e.g. instance-capacity growth — re-traces
-        if self.cfg.mesh_data > 1:
+        if self.cfg.mesh_data > 1 or self.cfg.mesh_tile > 1:
             from ..parallel import shard
             return shard.dp_train_step(
                 state, cams, gt, timestamps, self.bg, self.scene.fstatic,
                 st, stage=stage, sh_degree=sh_degree,
-                scale_integral=scale_integral, n_data=self.cfg.mesh_data)
+                scale_integral=scale_integral, n_data=self.cfg.mesh_data,
+                n_tile=self.cfg.mesh_tile)
         return step.train_step_core(
             state, cams, gt, timestamps, self.bg, self.scene.fstatic,
             st, stage=stage, sh_degree=sh_degree,
@@ -308,9 +312,13 @@ class Trainer:
 
             self._density_control(it, stage)
 
-            if int(metrics["dropped"]) > 0:
-                # overflow: double the instance capacity and re-jit (the
-                # dropped-instance frame trains on a truncated tail once)
+            # overflow check: reading "dropped" forces a device sync, which
+            # through the remote TPU tunnel serializes every step on a
+            # network round-trip (measured 1.6 s/it vs 0.27 s compute).
+            # Check on a stride so steps pipeline; a rare overflow trains
+            # up to `overflow_check_every` frames on a truncated tail.
+            if it % cfg.overflow_check_every == 0 and \
+                    int(metrics["dropped"]) > 0:
                 self.rcfg = self.rcfg._replace(
                     max_instances=self.rcfg.max_instances * 2)
                 print(f"[warn] it {it}: {int(metrics['dropped'])} instances "

@@ -31,6 +31,27 @@ def test_tile_sharded_render_matches_single(rng):
                                    atol=1e-6)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_tile_sharded_render_pallas_shs(rng):
+    """Strip sharding with the FULL rasterizer: pallas backend + SH."""
+    cam, meta = make_camera(width=64, height=56)   # partial bottom tile
+    means, scales, quats, opac, shs = make_gaussians(rng, n=50)
+    w, h = meta["width"], meta["height"]
+    cfg = RasterConfig(tile_x=16, tile_y=16, chunk=8, max_instances=8192,
+                       max_slots=256, backend="pallas")
+    ref = rasterize(jnp.asarray(means), jnp.asarray(scales),
+                    jnp.asarray(quats), jnp.asarray(opac), cam,
+                    jnp.zeros(3), width=w, height=h, sh_degree=3,
+                    config=cfg, shs=jnp.asarray(shs))
+    img = shard.tile_sharded_render(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(opac), None, cam, jnp.zeros(3),
+        width=w, height=h, n_tile=2, shs=jnp.asarray(shs), sh_degree=3,
+        config=cfg)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref.color),
+                               atol=1e-5)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
 def test_dp_train_step_matches_single(rng, tmp_path):
     """4-view batch on 4 devices == same batch on one device."""
@@ -95,6 +116,82 @@ def test_dp_train_step_matches_single(rng, tmp_path):
     ga = np.asarray(s1.aux.xyz_grad_accum)
     gb = np.asarray(s4.aux.xyz_grad_accum)
     np.testing.assert_allclose(ga, gb, rtol=1e-3, atol=1e-7)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("mesh_shape", [(1, 4), (2, 4)])
+def test_tile_train_step_matches_single(rng, tmp_path, mesh_shape):
+    """Tile-sharded (and composed data x tile) training step produces the
+    same update as the single-device step — per-Gaussian grads psum'd over
+    the ``tile`` axis (VERDICT r1 task 4)."""
+    from tests.test_e2e_train import _write_scene, DURATION
+    from saro_gs_tpu.config import load_config
+    from saro_gs_tpu import scene as scene_mod
+    from saro_gs_tpu.data import readers
+    from saro_gs_tpu.train.trainer import Trainer
+    from saro_gs_tpu.models.gaussians import PointCloud
+
+    n_data, n_tile = mesh_shape
+    root = str(tmp_path / "scene")
+    _write_scene(root, np.random.RandomState(7))
+
+    def cfg_for(md, mt):
+        return load_config(
+            source_path=root, model_path=str(tmp_path / f"m{md}x{mt}"),
+            loader="blender", duration=DURATION, resolution=1,
+            batch=2 * md, iterations=10, static_iteration=-1, densify=0,
+            preprocesspoints=0, capacity=512, raster_backend="jax",
+            max_instances=8192, max_slots=256,
+            lambda_dscale_reg=1e-4, scale_reg=True,
+            kplanes_config={"grid_dimensions": 2, "input_coordinate_dim": 4,
+                            "output_coordinate_dim": 8,
+                            "resolution": [16, 16, 16, 8]},
+            multires=[1], sh_degree=1, dsh=True, min_intergral=1e-4,
+            min_interval=0.5, mesh_data=md, mesh_tile=mt)
+
+    orig = readers.read_blender_scene
+
+    def small_reader(*a, **k):
+        info = orig(*a, **k)
+        pc = info.point_cloud
+        sel = np.random.RandomState(0).choice(pc.points.shape[0], 200,
+                                              replace=False)
+        return info._replace(point_cloud=PointCloud(
+            points=pc.points[sel], colors=pc.colors[sel],
+            times=pc.times[sel]))
+
+    readers.SCENE_READERS["blender"] = small_reader
+    try:
+        sc1 = scene_mod.Scene(cfg_for(1, 1))
+        scn = scene_mod.Scene(cfg_for(n_data, n_tile))
+    finally:
+        readers.SCENE_READERS["blender"] = orig
+
+    tr1 = Trainer(cfg_for(1, 1), sc1)
+    trn = Trainer(cfg_for(n_data, n_tile), scn)
+    loader = sc1.train_loader(2 * n_data, num_workers=2, seed=1)
+    batch = next(iter(loader))
+    args = (jax.tree_util.tree_map(jnp.asarray, batch.cams),
+            jnp.asarray(batch.gt), jnp.asarray(batch.timestamps))
+    s1, m1 = tr1._train_step(tr1.state, *args, st=tr1._statics(),
+                             stage="dynamatic", sh_degree=1,
+                             scale_integral=True)
+    sn, mn = trn._train_step(trn.state, *args, st=trn._statics(),
+                             stage="dynamatic", sh_degree=1,
+                             scale_integral=True)
+    np.testing.assert_allclose(float(m1["Ll1"]), float(mn["Ll1"]),
+                               rtol=1e-5)
+    for name in ("xyz", "scaling", "opacity", "temporal_pos"):
+        a = np.asarray(getattr(s1.points, name))
+        b = np.asarray(getattr(sn.points, name))
+        np.testing.assert_allclose(a, b, atol=2e-5, err_msg=name)
+    # the field grids updated through the strip-sharded backward too
+    a = np.asarray(s1.nets.grids[0][0])
+    b = np.asarray(sn.nets.grids[0][0])
+    np.testing.assert_allclose(a, b, atol=2e-5)
+    ga = np.asarray(s1.aux.xyz_grad_accum)
+    gb = np.asarray(sn.aux.xyz_grad_accum)
+    np.testing.assert_allclose(ga, gb, rtol=1e-3, atol=1e-6)
 
 
 def test_runtime_helpers():
