@@ -248,46 +248,66 @@ def bin_gaussians_staged(pre: PreprocessOut, opacity: jnp.ndarray,
         from . import tile_kernels
         k_exp, w_exp = 512, 1280
         mi_pad = -(-mi // k_exp) * k_exp
+        assert mi_pad < (1 << 23)    # offsets sentinel headroom
         nchunks = mi_pad // k_exp
         n_pad = -(-n // 128) * 128 + w_exp
+
+        # --- COMPACT kept gaussians to the front (one stable N-row sort).
+        # Culled slots interleave with kept ones (capacity padding, pruned
+        # points, frustum culls); without compaction a >w_exp run of culled
+        # rows overflows the owner window and the gather-repair fallback
+        # fires EVERY step (profiled at 125 ms/view in training, where
+        # ~60% of capacity slots are dead).  Kept rows have strictly
+        # increasing offsets, so after compaction a chunk's owners span at
+        # most k_exp+1 consecutive rows and overflow is impossible. ---------
+        def fin(x):
+            return jnp.where(jnp.isfinite(x), x.astype(f32), 0.0)
+        keep = (tiles > 0) & (offsets < mi)
+        ckey = jnp.where(keep, jnp.arange(n, dtype=jnp.int32), n)
+        meta_a = pre.rmin_x + (pre.rmin_y << 11)      # 22 bits
+        csorted = jax.lax.sort(
+            (ckey, offsets, meta_a, jnp.arange(1, n + 1, dtype=jnp.int32),
+             rw, fin(pre.mean_x), fin(pre.mean_y), fin(pre.conic_a),
+             fin(pre.conic_b), fin(pre.conic_c), fin(opacity),
+             fin(pre.rgb_r), fin(pre.rgb_g), fin(pre.rgb_b),
+             fin(pre.depth)), num_keys=1)
+        row_kept = csorted[0] < n
+        coffs = jnp.where(row_kept, csorted[1], 1 << 23)
+
         # exact owner rank at every chunk boundary, as a compare+reduce
         # (a searchsorted here is log2(N) serial gather rounds)
         bounds = jnp.arange(nchunks + 1, dtype=jnp.int32) * k_exp
-        r_bound = jnp.sum((offsets[None, :] <= bounds[:, None])
+        r_bound = jnp.sum((coffs[None, :] <= bounds[:, None])
                           .astype(jnp.int32), axis=1) - 1
         g0s = jnp.clip((jnp.clip(r_bound[:-1], 0, n - 1) // 128) * 128,
                        0, n_pad - w_exp).astype(jnp.int32)
-        over = (r_bound[1:] - g0s) >= w_exp           # window overflow?
+        over = (r_bound[1:] - g0s) >= w_exp   # impossible post-compaction
 
         # gaussian table: every value finite and exactly representable in
         # f32 (floats sanitized; ints < 2^24), so the one-hot matmul
         # spread is exact
-        def fin(x):
-            return jnp.where(jnp.isfinite(x), x.astype(f32), 0.0)
-        meta_a = pre.rmin_x + (pre.rmin_y << 11)      # 22 bits
         pad_n = n_pad - n
 
-        def padn(x):
-            return jnp.pad(x, (0, pad_n))
-        offs_row = jnp.pad(offsets.astype(f32), (0, pad_n),
-                           constant_values=float(1 << 23))
+        def padn(x, const=0.0):
+            return jnp.pad(x.astype(f32), (0, pad_n),
+                           constant_values=const)
+        offs_row = padn(coffs, const=float(1 << 23))
         rows = jnp.stack(
-            [offs_row, padn(meta_a.astype(f32)),
-             padn(jnp.arange(1, n + 1, dtype=jnp.int32).astype(f32)),
-             padn(rw.astype(f32)),
-             padn(fin(pre.mean_x)), padn(fin(pre.mean_y)),
-             padn(fin(pre.conic_a)), padn(fin(pre.conic_b)),
-             padn(fin(pre.conic_c)), padn(fin(opacity)),
-             padn(fin(pre.rgb_r)), padn(fin(pre.rgb_g)),
-             padn(fin(pre.rgb_b)), padn(fin(pre.depth)),
+            [offs_row, padn(csorted[2]), padn(csorted[3]),
+             padn(csorted[4]),
+             padn(csorted[5]), padn(csorted[6]),
+             padn(csorted[7]), padn(csorted[8]),
+             padn(csorted[9]), padn(csorted[10]),
+             padn(csorted[11]), padn(csorted[12]),
+             padn(csorted[13]), padn(csorted[14]),
              jnp.zeros((n_pad,), f32), jnp.zeros((n_pad,), f32)], axis=0)
         out16 = tile_kernels.expand_rows_pallas(rows, g0s, mi_pad, w_exp,
                                                 k=k_exp)
 
         def fix(o):
-            # rare window overflow (long culled runs): exact gather repair
+            # safety net (unreachable post-compaction): exact gather repair
             rb = jnp.clip(jnp.searchsorted(
-                offsets, jnp.arange(mi_pad, dtype=offsets.dtype),
+                coffs, jnp.arange(mi_pad, dtype=coffs.dtype),
                 side="right") - 1, 0, n - 1)
             sel = jnp.repeat(over, k_exp)
             return [jnp.where(sel, rows[i, rb], oi)

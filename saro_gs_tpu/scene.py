@@ -86,10 +86,27 @@ class Scene:
 
     # ---- camera access (scene/__init__.py:139-163) ------------------------
     def train_loader(self, batch_size: int, num_workers: int = 4,
-                     seed: int = 666) -> BatchLoader:
-        return BatchLoader(self.info.train_cameras, batch_size,
+                     seed: int = 666, process_index: Optional[int] = None,
+                     process_count: Optional[int] = None) -> BatchLoader:
+        """Per-host loader: on a multi-host runtime each process feeds its
+        disjoint round-robin camera shard with batch_size/process_count
+        local views; the global batch is their concatenation
+        (parallel/runtime.host_shard + make_global_batch).  The reference's
+        DataLoader workers (train.py:116-117) scale within one host only.
+        """
+        import jax
+        from .parallel import runtime
+        pc = jax.process_count() if process_count is None else process_count
+        pi = jax.process_index() if process_index is None else process_index
+        cameras = self.info.train_cameras
+        local_bs = batch_size
+        if pc > 1:
+            cameras = runtime.host_shard(cameras, pi, pc)
+            assert batch_size % pc == 0, (batch_size, pc)
+            local_bs = batch_size // pc
+        return BatchLoader(cameras, local_bs,
                            white_background=self.cfg.white_background,
-                           num_workers=num_workers, seed=seed)
+                           num_workers=num_workers, seed=seed + 997 * pi)
 
     def test_cameras(self) -> List[Camera]:
         return self.info.test_cameras

@@ -262,10 +262,28 @@ class Trainer:
         scale = iteration <= cfg.densify_until_iter
         return use, scale
 
+    def _globalize(self, batch):
+        """Host-local batch -> step inputs.  On a multi-host runtime the
+        local [B/pc] arrays become globally-sharded [B] arrays along the
+        mesh ``data`` axis (runtime.make_global_batch); single-process is
+        the identity."""
+        cams = jax.tree_util.tree_map(jnp.asarray, batch.cams)
+        gt = jnp.asarray(batch.gt)
+        ts = jnp.asarray(batch.timestamps)
+        if jax.process_count() > 1:
+            from ..parallel import runtime
+            if self._global_mesh is None:
+                self._global_mesh = runtime.global_mesh(
+                    n_data=self.cfg.mesh_data, n_tile=self.cfg.mesh_tile)
+            return runtime.make_global_batch(
+                self._global_mesh, (cams, gt, ts))
+        return cams, gt, ts
+
     def run(self, max_iterations: Optional[int] = None,
             log_every: int = 50, eval_fn=None):
         cfg = self.cfg
         total = max_iterations or cfg.iterations
+        self._global_mesh = None
         loader = self.scene.train_loader(cfg.batch,
                                          num_workers=cfg.data_workers,
                                          seed=cfg.seed)
@@ -291,9 +309,9 @@ class Trainer:
             if stage == "dynamatic" and it % 50 == 0:
                 self.state = self._integral_refresh(self.state,
                                                     use_integral=use_int)
+            cams_g, gt_g, ts_g = self._globalize(batch)
             self.state, metrics = self._train_step(
-                self.state, jax.tree_util.tree_map(jnp.asarray, batch.cams),
-                jnp.asarray(batch.gt), jnp.asarray(batch.timestamps),
+                self.state, cams_g, gt_g, ts_g,
                 st=self._statics(), stage=stage,
                 sh_degree=self.active_sh_degree, scale_integral=scale_int)
 

@@ -194,6 +194,34 @@ def test_tile_train_step_matches_single(rng, tmp_path, mesh_shape):
     np.testing.assert_allclose(ga, gb, rtol=1e-3, atol=1e-6)
 
 
+def test_multihost_loader_shards_are_disjoint(rng, tmp_path):
+    """Faked process_index/count: each host's loader draws from a disjoint
+    camera shard whose union is the full set, with batch/pc local views —
+    the concatenation IS the global batch (VERDICT r1 task 5)."""
+    from tests.test_e2e_train import _write_scene, DURATION
+    from saro_gs_tpu.config import load_config
+    from saro_gs_tpu import scene as scene_mod
+
+    root = str(tmp_path / "scene")
+    _write_scene(root, np.random.RandomState(7))
+    cfg = load_config(source_path=root, model_path=str(tmp_path / "m"),
+                      loader="blender", duration=DURATION, resolution=1,
+                      preprocesspoints=0, capacity=512)
+    sc = scene_mod.Scene(cfg)
+    n_total = len(sc.info.train_cameras)
+    pc = 2
+    shards = []
+    for pi in range(pc):
+        loader = sc.train_loader(4, num_workers=1, seed=3,
+                                 process_index=pi, process_count=pc)
+        assert loader.batch_size == 2          # 4 global / 2 hosts
+        shards.append({id(c) for c in loader.cameras})
+        batch = next(iter(loader))
+        assert batch.gt.shape[0] == 2
+    assert not (shards[0] & shards[1])
+    assert len(shards[0] | shards[1]) == n_total
+
+
 def test_runtime_helpers():
     from saro_gs_tpu.parallel import runtime
     assert runtime.init_distributed() == 0
