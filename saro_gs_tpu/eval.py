@@ -159,6 +159,9 @@ class Evaluator:
             "SSIM": float(np.mean(ssims)) if ssims else None,
             "MS-SSIM": float(np.mean(msssims)) if msssims else None,
             "LPIPS-alex": float(np.mean(lpipss)) if lpipss else None,
+            # provenance: 'fixture-random-seed0' values are a relative
+            # random-feature metric, NOT comparable to published LPIPS
+            "LPIPS-weights": lpips_mod.weights_source("alex"),
             "FPS": fps,
             "num_views": len(cameras),
         }

@@ -8,12 +8,22 @@ squared differences projected by learned 1x1 "lin" heads, averaged over
 space and summed over taps.
 
 This environment has no network egress and no torchvision, so pretrained
-weights cannot be fetched at runtime.  Weights load from a local ``.npz``
-(``save_weights_npz`` documents the layout, and ``convert_torch_state``
-maps a torchvision+LPIPS torch state dict into it).  Without a weight
-file, calling ``lpips`` raises a clear error — metric reporting degrades
-gracefully (eval simply omits LPIPS, as torchmetrics would if its weight
-download failed).
+weights cannot be fetched at runtime.  Weight resolution order:
+
+  1. a local ``.npz`` (``save_weights_npz`` documents the layout;
+     ``convert_torch_state`` maps torchvision ``alexnet().features`` /
+     ``vgg16().features`` + LPIPS ``lin{i}.model.1.weight`` state dicts
+     into it — run that once on any machine with the torch weights and
+     drop the npz under ``weights/`` or point SARO_LPIPS_WEIGHTS at it),
+  2. otherwise a DETERMINISTIC FIXTURE set (seed 0 Kaiming convs,
+     non-negative lin heads): random-feature perceptual distance.  It is
+     a valid relative metric (0 iff identical, symmetric, grows with
+     perceptual difference — see tests/test_lpips.py) but its values are
+     NOT comparable to published LPIPS numbers; eval JSONs record the
+     provenance under ``LPIPS-weights`` so the two are never confused.
+
+Set SARO_LPIPS_FIXTURE=0 to disable the fallback (then ``lpips`` raises
+without a weight file, and eval omits the metric).
 """
 from __future__ import annotations
 
@@ -108,6 +118,7 @@ def lpips_from_params(params: Dict[str, jnp.ndarray], x, y,
 # --------------------------------------------------------------- weights ---
 
 _CACHE: Dict[str, Dict[str, jnp.ndarray]] = {}
+_SOURCE: Dict[str, str] = {}
 
 
 def weights_path(net_type: str) -> str:
@@ -118,16 +129,35 @@ def weights_path(net_type: str) -> str:
     return os.path.join(root, f"lpips_{net_type}.npz")
 
 
+def _fixture_enabled() -> bool:
+    return os.environ.get("SARO_LPIPS_FIXTURE", "1") == "1"
+
+
 def load_weights(net_type: str = "alex") -> Optional[Dict[str, jnp.ndarray]]:
     if net_type in _CACHE:
         return _CACHE[net_type]
     path = weights_path(net_type)
     if not os.path.exists(path):
-        return None
+        if not _fixture_enabled():
+            return None
+        params = {k: jnp.asarray(v) for k, v in init_random_weights(
+            jax.random.PRNGKey(0), net_type).items()}
+        _SOURCE[net_type] = "fixture-random-seed0"
+        _CACHE[net_type] = params
+        return params
     raw = np.load(path)
     params = {k: jnp.asarray(raw[k]) for k in raw.files}
+    _SOURCE[net_type] = os.path.basename(path)
     _CACHE[net_type] = params
     return params
+
+
+def weights_source(net_type: str = "alex") -> Optional[str]:
+    """Provenance of the loaded weights ('fixture-random-seed0' or the
+    npz filename); None when nothing is loaded/loadable."""
+    if net_type not in _CACHE and load_weights(net_type) is None:
+        return None
+    return _SOURCE.get(net_type)
 
 
 def save_weights_npz(params: Dict[str, np.ndarray], net_type: str,
