@@ -1,0 +1,140 @@
+"""Real-TPU Pallas parity harness: compiled Mosaic vs the pure-JAX oracle.
+
+The CPU test suite exercises the Pallas kernels in INTERPRET mode only
+(ops/tile_kernels._interpret); this script runs the same forward+backward
+parity checks with compiled Mosaic kernels on the actual chip, over the
+full flag matrix (prefix x packed x expander x tight_rect, plus strip
+mode), and writes a re-runnable JSON artifact.
+
+Usage: python scripts/parity_tpu.py [out.json]   (defaults PARITY_TPU.json)
+Exit code 0 iff every combination passes its gate.
+"""
+import itertools
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def psnr(a, b):
+    mse = float(np.mean((a - b) ** 2))
+    return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from saro_gs_tpu.ops.rasterize import RasterConfig, rasterize
+    from tests.scene_fixtures import make_camera, make_gaussians
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "PARITY_TPU.json"
+    on_tpu = jax.default_backend() == "tpu"
+    w, h, n = (512, 384, 4000) if on_tpu else (128, 96, 300)
+    chunk = 128  # Mosaic lane alignment requires 128-multiples on TPU
+    rng = np.random.RandomState(666)
+    cam, _ = make_camera(width=w, height=h)
+    means, scales, quats, opac, shs = make_gaussians(rng, n=n)
+    opac[::5] = 0.02           # exercise tight-rect shrinkage
+    bg = jnp.asarray([0.1, 0.25, 0.05])
+    args = tuple(map(jnp.asarray, (means, scales, quats, opac, shs)))
+    d_color = jnp.asarray(rng.normal(0, 1, (3, h, w)).astype(np.float32))
+
+    base = dict(tile_x=32, tile_y=32, chunk=chunk, max_instances=1 << 17,
+                max_slots=1024)
+    oracle_cfg = RasterConfig(tile_x=16, tile_y=16, chunk=64,
+                              max_instances=1 << 17, max_slots=1024,
+                              backend="jax", tight_rect=False)
+
+    def run(cfg, row0=None):
+        def loss(m, s, q, o, sh_):
+            out = rasterize(m, s, q, o, cam, bg, width=w, height=h,
+                            sh_degree=3, config=cfg, shs=sh_, row0=row0)
+            dc = d_color
+            if cfg.strip_rows:
+                r0 = int(row0) * cfg.tile_y
+                dc = d_color[:, r0:r0 + cfg.strip_rows * cfg.tile_y, :]
+                hh = dc.shape[1]
+                return jnp.sum(out.color[:, :hh] * dc)
+            return jnp.sum(out.color * dc)
+
+        fwd = jax.jit(lambda *a: rasterize(
+            *a[:4], cam, bg, width=w, height=h, sh_degree=3, config=cfg,
+            shs=a[4], row0=row0))(*args)
+        grads = jax.jit(jax.grad(loss, argnums=tuple(range(5))))(*args)
+        return fwd, grads
+
+    ref_fwd, ref_grads = run(oracle_cfg)
+    ref_color = np.asarray(ref_fwd.color)
+
+    results = {"device": str(jax.devices()[0]), "compiled_mosaic": on_tpu,
+               "width": w, "height": h, "n_gaussians": n, "combos": []}
+    ok_all = True
+    names = ["means", "scales", "quats", "opac", "shs"]
+
+    for prefix, packed, expander, tight in itertools.product(
+            ("roll", "matmul"), (False, True), ("sort", "pallas"),
+            (False, True)):
+        cfg = RasterConfig(backend="pallas", prefix=prefix, packed=packed,
+                           expander=expander, tight_rect=tight, **base)
+        fwd, grads = run(cfg)
+        color = np.asarray(fwd.color)
+        c_psnr = psnr(np.clip(color, 0, 1), np.clip(ref_color, 0, 1))
+        c_err = float(np.abs(color - ref_color).max())
+        g_errs = {}
+        for g, r, name in zip(grads, ref_grads, names):
+            g, r = np.asarray(g), np.asarray(r)
+            g_errs[name] = float(np.abs(g - r).max() /
+                                 (np.abs(r).max() + 1e-8))
+        depth_match = float(np.isclose(np.asarray(fwd.depth),
+                                       np.asarray(ref_fwd.depth)).mean())
+        # gates: packed quantizes six attrs to bf16 (visually lossless,
+        # >45 dB); unpacked must match to fp-reassociation noise
+        if packed:
+            ok = c_psnr > 45.0 and all(v < 0.05 for v in g_errs.values())
+        else:
+            ok = c_err < 1e-3 and all(v < 2e-3 for v in g_errs.values()) \
+                and depth_match > 0.995
+        combo = {"prefix": prefix, "packed": packed, "expander": expander,
+                 "tight_rect": tight, "color_maxerr": c_err,
+                 "color_psnr_db": round(c_psnr, 2),
+                 "grad_relerr": {k: round(v, 6) for k, v in g_errs.items()},
+                 "depth_match": round(depth_match, 5), "ok": bool(ok)}
+        results["combos"].append(combo)
+        ok_all &= ok
+        print(json.dumps(combo), flush=True)
+
+    # strip mode: 2 strips on the fast flags reassemble + grads sum
+    cfg = RasterConfig(backend="pallas", prefix="matmul", packed=False,
+                       expander="pallas", tight_rect=True, **base)
+    grid_y = (h + cfg.tile_y - 1) // cfg.tile_y
+    rows = (grid_y + 1) // 2
+    scfg = cfg._replace(strip_rows=rows)
+    full_fwd, full_grads = run(cfg)
+    parts, gsum = [], None
+    for s in range(2):
+        f, g = run(scfg, row0=jnp.float32(s * rows))
+        parts.append(np.asarray(f.color))
+        gsum = g if gsum is None else jax.tree_util.tree_map(
+            jnp.add, gsum, g)
+    strip_color = np.concatenate(parts, axis=1)[:, :h, :]
+    s_err = float(np.abs(strip_color - np.asarray(full_fwd.color)).max())
+    sg_err = max(float(np.abs(np.asarray(a) - np.asarray(b)).max() /
+                       (np.abs(np.asarray(b)).max() + 1e-8))
+                 for a, b in zip(gsum, full_grads))
+    strip_ok = s_err < 1e-4 and sg_err < 2e-3
+    results["strip"] = {"color_maxerr": s_err, "grad_relerr": sg_err,
+                        "ok": bool(strip_ok)}
+    ok_all &= strip_ok
+    results["ok"] = bool(ok_all)
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"parity {'OK' if ok_all else 'FAILED'} -> {out_path}",
+          flush=True)
+    os._exit(0 if ok_all else 1)
+
+
+if __name__ == "__main__":
+    main()
