@@ -111,6 +111,12 @@ class Config:
     presize_instances: bool = True
     presize_factor: float = 3.0
     overflow_check_every: int = 25     # instance-overflow poll stride
+    # big-splat screen-space prune threshold in PIXELS, active after the
+    # first opacity reset.  The reference hard-codes 20 for 1352-px-wide
+    # Neural3D renders (saro_gaussian.densify_pruneclone:705-739); the
+    # world-space size it prunes scales with resolution, so halved-res
+    # scenes need a proportional value or they mass-prune mid-size splats.
+    max_screen_size: int = 20
     seed: int = 666
     data_workers: int = 4
     mesh_data: int = 1                 # device-mesh axes (parallel/)

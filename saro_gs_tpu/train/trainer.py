@@ -174,7 +174,8 @@ class Trainer:
             min_opacity=self.cfg.opthr,
             extent=self.scene.cameras_extent,
             percent_dense=self.cfg.percent_dense,
-            max_screen_size=20 if with_size_threshold else None,
+            max_screen_size=(self.cfg.max_screen_size
+                             if with_size_threshold else None),
             inv_integral=state.inv_integral_densify,
             integral=integral,
             min_intergral=self.mcfg.min_intergral,
