@@ -39,12 +39,12 @@ def _interpret() -> bool:
 
 
 def scatter_taps_xla(cells, weights, dfeat, total: int) -> jnp.ndarray:
-    """Reference path: [T, C] accumulation via XLA scatter-add.
-    cells/weights: [4, N]; dfeat: [N, C]."""
+    """Reference path: accumulation via XLA scatter-add -> [C, total].
+    cells/weights: [n_taps, N]; dfeat: [N, C]."""
     out = jnp.zeros((total, dfeat.shape[1]), dfeat.dtype)
     for t in range(cells.shape[0]):
         out = out.at[cells[t]].add(weights[t][:, None] * dfeat)
-    return out
+    return out.T
 
 
 def _scatter_kernel(starts_ref, nchunks_ref, table_hbm, out_ref,
@@ -80,7 +80,8 @@ def _scatter_kernel(starts_ref, nchunks_ref, table_hbm, out_ref,
         # no column and contribute exactly zero.
         wmat = jnp.zeros((KC, KP), jnp.float32)
         for t in range(n_taps):
-            cell_t = pltpu.bitcast(table[t:t + 1, :], jnp.int32)  # [1,KP]
+            cell_t = jax.lax.bitcast_convert_type(
+                table[t:t + 1, :], jnp.int32)                     # [1,KP]
             w_t = table[n_taps + t:n_taps + t + 1, :]             # [1,KP]
             wmat = wmat + jnp.where(cell_t == cols, w_t, 0.0)
         dfeat = table[2 * n_taps:2 * n_taps + c_feat, :]          # [C,KP]
@@ -95,16 +96,11 @@ def _scatter_kernel(starts_ref, nchunks_ref, table_hbm, out_ref,
         0, nchunks, body, jnp.zeros((c_feat, KC), jnp.float32))
     out_ref[...] = acc
 
-    @pl.when(nchunks > 0)
-    def _():
-        # drain the last prefetch if the loop issued one past the end
-        pass
-
 
 def scatter_taps_pallas(cells, weights, dfeat, total: int) -> jnp.ndarray:
     """Sorted-window MXU scatter-add.  cells/weights: [n_taps, N] (tap 0 is
     the smallest cell of each row's footprint), dfeat: [N, C].
-    Returns [total, C], bit-deterministic."""
+    Returns [C, total], deterministic."""
     n_taps, n = cells.shape
     c_feat = dfeat.shape[1]
     f32 = jnp.float32
@@ -160,7 +156,7 @@ def scatter_taps_pallas(cells, weights, dfeat, total: int) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((c_feat, total_pad), f32),
         interpret=_interpret(),
     )(astart, nchunks, table)
-    return out[:, :total].T                            # [total, C]
+    return out[:, :total]                              # [C, total]
 
 
 def scatter_taps(cells, weights, dfeat, total: int,

@@ -21,6 +21,8 @@ of pyramid depth; per-sample level resolution is pure integer math.
 """
 from __future__ import annotations
 
+import functools
+import os
 from typing import List
 
 import jax
@@ -73,18 +75,10 @@ def _bilinear(grid: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     return top * (1 - fy)[:, None] + bot * fy[:, None]
 
 
-def sample_mip(grid: jnp.ndarray, coords: jnp.ndarray, level: jnp.ndarray,
-               max_level: int) -> jnp.ndarray:
-    """Mip-biased trilinear sample.
-
-    Args:
-      grid: [C, H, W] base (learnable) plane.
-      coords: [N, 2] in [0,1]; coords[:,0] indexes W, coords[:,1] indexes H.
-      level: [N] fractional mip level (no gradient; stop-gradient applied).
-      max_level: static cap (0 = plain bilinear, like the reference's time
-        planes).
-    Returns [N, C].
-    """
+def _sample_mip_impl(grid: jnp.ndarray, coords: jnp.ndarray,
+                     level: jnp.ndarray, max_level: int) -> jnp.ndarray:
+    """Gather-based implementation (forward; autodiff backward is the
+    oracle for the custom VJP below)."""
     u, v = coords[:, 0], coords[:, 1]
     c, h, w = grid.shape
     n_levels = max_mip_levels(h, w, max_level)
@@ -126,3 +120,119 @@ def sample_mip(grid: jnp.ndarray, coords: jnp.ndarray, level: jnp.ndarray,
     s0 = samp(l0)
     s1 = samp(l1)
     return s0 * (1 - frac)[:, None] + s1 * frac[:, None]
+
+
+# ------------------------------------------------------------- custom VJP ---
+
+def _scatter_backend() -> str:
+    env = os.environ.get("SARO_GRID_SCATTER", "")
+    if env in ("pallas", "xla"):
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _tap_cells_weights(u, v, w_l, h_l, base):
+    """Absolute flat texel ids + bilinear weights of one level's 4 taps.
+    ``w_l``/``h_l``/``base`` may be per-point arrays (heterogeneous mip
+    levels).  cells[0] is each point's smallest id (sort key for the
+    windowed scatter); clamped border taps duplicate ids and their
+    weights simply add."""
+    x = u * w_l - 0.5
+    y = v * h_l - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = jnp.clip(x - x0, 0, 1)
+    fy = jnp.clip(y - y0, 0, 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w_l - 1)
+    x1i = jnp.minimum(x0i + 1, w_l - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h_l - 1)
+    y1i = jnp.minimum(y0i + 1, h_l - 1)
+    cells = jnp.stack([base + y0i * w_l + x0i, base + y0i * w_l + x1i,
+                       base + y1i * w_l + x0i, base + y1i * w_l + x1i])
+    one = jnp.ones_like(fx)
+    wts = jnp.stack([(one - fx) * (one - fy), fx * (one - fy),
+                     (one - fx) * fy, fx * fy])
+    return cells, wts
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def sample_mip(grid: jnp.ndarray, coords: jnp.ndarray, level: jnp.ndarray,
+               max_level: int) -> jnp.ndarray:
+    """Mip-biased trilinear sample.
+
+    Args:
+      grid: [C, H, W] base (learnable) plane.
+      coords: [N, 2] in [0,1]; coords[:,0] indexes W, coords[:,1] indexes H.
+      level: [N] fractional mip level (no gradient; stop-gradient applied).
+      max_level: static cap (0 = plain bilinear, like the reference's time
+        planes).
+    Returns [N, C].
+
+    Custom VJP: the grid gradient routes through the sorted-window MXU
+    scatter (ops/grid_scatter.py) on TPU — XLA's serial scatter emitter was
+    the top op of the training step — with the plain `.at[].add` transpose
+    elsewhere.  ``coords``/``level`` receive ZERO gradients, matching the
+    reference semantics where every field input is detached before
+    sampling (saro_gaussian.py:780, scene/hexplane.py:49-56; our callers
+    stop-gradient the same way, models/gaussians.py:165).
+    """
+    return _sample_mip_impl(grid, coords, level, max_level)
+
+
+def _sample_mip_fwd(grid, coords, level, max_level):
+    return _sample_mip_impl(grid, coords, level, max_level), \
+        (grid, coords, level)
+
+
+def _sample_mip_bwd(max_level, res, dfeat):
+    from . import grid_scatter
+    grid, coords, level = res
+    c, h, w = grid.shape
+    u, v = coords[:, 0], coords[:, 1]
+    dfeat = dfeat.astype(jnp.float32)
+    use_pallas = _scatter_backend() == "pallas" and grid.dtype == jnp.float32
+    n_levels = max_mip_levels(h, w, max_level)
+    zeros = (jnp.zeros_like(coords), jnp.zeros_like(level))
+
+    if n_levels == 0:
+        cells, wts = _tap_cells_weights(u, v, w, h, 0)
+        d_flat = grid_scatter.scatter_taps(cells, wts, dfeat, h * w,
+                                           use_pallas)
+        return (d_flat.reshape(c, h, w).astype(grid.dtype),) + zeros
+
+    level_c = jax.lax.stop_gradient(
+        jnp.clip(level.astype(jnp.float32), 0.0, n_levels))
+    l0 = jnp.clip(jnp.floor(level_c).astype(jnp.int32), 0, n_levels)
+    l1 = jnp.clip(l0 + 1, 0, n_levels)
+    frac = level_c - l0
+    sizes = [(h >> l, w >> l) for l in range(n_levels + 1)]
+    offs_np = np.cumsum([0] + [hl * wl for hl, wl in sizes])
+    total = int(offs_np[-1])
+    offs = jnp.asarray(offs_np[:-1], jnp.int32)
+
+    def bracket(l, factor):
+        w_l = jnp.right_shift(w, l)
+        h_l = jnp.right_shift(h, l)
+        cells, wts = _tap_cells_weights(u, v, w_l, h_l, offs[l])
+        return grid_scatter.scatter_taps(cells, wts,
+                                         dfeat * factor[:, None], total,
+                                         use_pallas)
+
+    d_flat = bracket(l0, 1.0 - frac) + bracket(l1, frac)   # [C, total]
+
+    # transpose of flatten(build_pyramid): spread each level's cotangent
+    # down through the 2x2 mean-pool chain (factor 1/4 per level)
+    d = None
+    for l in reversed(range(n_levels + 1)):
+        hl, wl = sizes[l]
+        seg = jax.lax.dynamic_slice_in_dim(
+            d_flat, int(offs_np[l]), hl * wl, axis=1).reshape(c, hl, wl)
+        if d is None:
+            d = seg
+        else:
+            d = seg + 0.25 * jnp.repeat(jnp.repeat(d, 2, axis=1), 2,
+                                        axis=2)
+    return (d.astype(grid.dtype),) + zeros
+
+
+sample_mip.defvjp(_sample_mip_fwd, _sample_mip_bwd)
