@@ -1,15 +1,18 @@
-"""Benchmark: rendering FPS at the Neural3D evaluation resolution.
+"""Benchmark: rendering FPS + training throughput on the real chip.
 
-Prints ONE JSON line:
-  {"metric": "render_fps_1352x1014", "value": N, "unit": "frames/s",
-   "vs_baseline": null}
+Prints TWO JSON lines:
+  {"metric": "render_fps_1352x1014", "value": N, "unit": "frames/s", ...}
+  {"metric": "train_steps_per_s_b4_1352x1014", "value": N, ...}
 
-Protocol mirrors the reference's FPS measurement (test.py:150-163): jitted
-eval-style renders, device-synchronized per-frame wall clock, warm-up frames
-discarded.  Runs the Pallas fast path on the available accelerator with a
-synthetic flame_steak-scale model (200k Gaussians, scale-aware field +
-deformation + rasterization).  The reference repo publishes no numbers
-(BASELINE.json "published": {}), so vs_baseline is null.
+FPS protocol mirrors the reference (test.py:150-163): jitted eval-style
+renders, device-synchronized per-pass wall clock, warm-up frames
+discarded.  When a trained checkpoint exists (SARO_BENCH_CKPT or the
+default synth_arena run) the render benches THAT scene at 1352x1014 per
+the reference protocol of timing a trained model; otherwise a synthetic
+flame_steak-scale model (200k Gaussians).  The training metric times the
+full jitted train step (batch 4 views at 1352x1014, 200k Gaussians,
+dynamic stage: deformation + field + raster fwd/bwd + per-Gaussian-LR
+Adam) — the round-1 baseline was 1.58 steps/s.
 """
 import json
 import math
@@ -17,68 +20,167 @@ import os
 import sys
 import time
 
+# warm compile cache shared with the training/bench sessions (first remote
+# TPU compiles run 10-30 min; cached ones seconds)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
 import numpy as np
 
 
-def main():
+def _pin_requested_platform():
+    """The axon PJRT plugin captures JAX_PLATFORMS at sitecustomize import;
+    honor an explicit cpu request (same guard as tests/conftest.py)."""
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            import jax._src.xla_bridge as _xb
+            _xb._backend_factories.pop("axon", None)
+        except Exception:
+            pass
+
+
+_pin_requested_platform()
+
+
+def find_checkpoint():
+    path = os.environ.get("SARO_BENCH_CKPT", "")
+    if path:
+        return path if os.path.exists(path) else None
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "log", "synth_arena")
+    best = None
+    for exp in ("r2b", "r2main"):
+        for tag in ("iteration_best", "iteration_12000"):
+            p = os.path.join(root, exp, "point_cloud", tag,
+                             "point_cloud.ply")
+            if os.path.exists(p) and os.path.exists(
+                    p.replace(".ply", ".npz")):
+                best = p
+                break
+        if best:
+            break
+    return best
+
+
+def load_ckpt_state(path, mcfg):
+    """point_cloud.ply + sibling npz -> (params, nets, alive, fstatic)."""
     import jax
     import jax.numpy as jnp
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from saro_gs_tpu.data import ply as ply_mod
+    from saro_gs_tpu.models import field as field_mod
+    from saro_gs_tpu.models import gaussians as gm
+
+    d = ply_mod.load_gaussian_ply(path)
+    n = d["xyz"].shape[0]
+
+    def arr(x, fill=0.0):
+        return jnp.asarray(x, jnp.float32)
+
+    params = gm.GaussianParams(
+        xyz=arr(d["xyz"]), features_dc=arr(d["f_dc"]),
+        features_rest=arr(d["f_rest"]), scaling=arr(d["scaling"]),
+        rotation=arr(d["rotation"]), opacity=arr(d["opacity"]),
+        temporal_pos=arr(d["temporal_pos"]))
+    alive = jnp.ones((n,), jnp.float32)
+    npz = np.load(path.replace(".ply", ".npz"))
+    flat = [jnp.asarray(npz[f"leaf_{i}"])
+            for i in range(int(npz["num_leaves"]))]
+    key = jax.random.PRNGKey(0)
+    tpl = gm.init_nets(key, mcfg)
+    nets = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(tpl), flat)
+    fstatic = field_mod.FieldStatic(
+        aabb_min=jnp.asarray(npz["aabb_min"]),
+        aabb_max=jnp.asarray(npz["aabb_max"]),
+        duration=jnp.asarray(npz["duration"]))
+    return params, nets, alive, fstatic, n
+
+
+def bench_fps():
+    import jax
+    import jax.numpy as jnp
     from __graft_entry__ import _camera, _synthetic_state
     from saro_gs_tpu.ops.rasterize import RasterConfig
     from saro_gs_tpu.render import test_render
     from saro_gs_tpu.models import gaussians as gm
 
     width, height = 1352, 1014
-    n = 200_000
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
-        # CPU smoke: shrink so the run finishes
-        width, height, n = 338, 254, 5_000
+        width, height = 338, 254
 
-    cfg, params, nets, alive, fstatic = _synthetic_state(
-        n=n, capacity=n, seed=3)
-    # flame_steak-like splat statistics: small anisotropic splats
-    rng = np.random.RandomState(0)
-    params = params._replace(
-        scaling=jnp.asarray(np.log(rng.uniform(0.003, 0.02, (n, 3))),
-                            jnp.float32))
-    cam = _camera(width, height)
-    # capacity right-sized to the scene: ~410k instances at these splat
-    # stats with tight rects (profiled); static sort/scan cost scales
-    # with capacity (need not be a power of two)
-    rcfg = RasterConfig(tile_x=32, tile_y=32,
-                        chunk=int(os.environ.get("SARO_BENCH_CHUNK", "128")),
-                        max_instances=576 * 1024,
-                        backend="pallas" if on_tpu else "jax",
-                        max_slots=512,
-                        prefix=os.environ.get("SARO_BENCH_PREFIX", "matmul"),
-                        packed=os.environ.get("SARO_BENCH_PACKED", "1") == "1",
-                        expander=os.environ.get("SARO_BENCH_EXPAND", "pallas"))
-    bg = jnp.zeros(3)
+    ckpt = find_checkpoint() if on_tpu else None
+    if ckpt:
+        from saro_gs_tpu.config import load_cfg_args
+        cfg_path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(ckpt))), "cfg_args.json")
+        tcfg = load_cfg_args(cfg_path)
+        mcfg = tcfg.model_config()
+        params, nets, alive, fstatic, n = load_ckpt_state(ckpt, mcfg)
+        # trained scene's own camera rig, rendered at the benchmark
+        # resolution (fov preserved)
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from make_synth_scene import camera_from_c2w, ring_cameras
+        cam = camera_from_c2w(ring_cameras(21)[0], 0.85, width, height,
+                              0.0).raster_params()
+        scene_desc = f"ckpt:{os.path.relpath(ckpt)} ({n} pts)"
+        cfg = mcfg
+    else:
+        n = 200_000
+        if not on_tpu:
+            n = 5_000
+        cfg, params, nets, alive, fstatic = _synthetic_state(
+            n=n, capacity=n, seed=3)
+        rng = np.random.RandomState(0)
+        params = params._replace(
+            scaling=jnp.asarray(np.log(rng.uniform(0.003, 0.02, (n, 3))),
+                                jnp.float32))
+        cam = _camera(width, height)
+        scene_desc = f"synthetic ({n} pts)"
+        mcfg = cfg
+
+    bg = jnp.ones(3) if ckpt else jnp.zeros(3)
     feat = jax.jit(gm.field_feat, static_argnames=("cfg",))(
-        params, nets, cfg, fstatic)
+        params, nets, mcfg, fstatic)
 
-    @jax.jit
-    def render(ts, feat):
-        out, _ = test_render(cam, ts, params, nets, alive, cfg, fstatic, bg,
-                             width=width, height=height, sh_degree=3,
-                             rcfg=rcfg, feat=feat)
-        return out.color
+    def make_render(rcfg):
+        @jax.jit
+        def render(ts, feat):
+            out, _ = test_render(cam, ts, params, nets, alive, mcfg,
+                                 fstatic, bg, width=width, height=height,
+                                 sh_degree=3, rcfg=rcfg, feat=feat)
+            return out.color, out.num_instances, out.num_dropped
+        return render
 
-    # timestamps cycle like a test-camera sweep
+    rcfg = RasterConfig(
+        tile_x=32, tile_y=32,
+        chunk=int(os.environ.get("SARO_BENCH_CHUNK", "128")),
+        max_instances=576 * 1024,
+        backend="pallas" if on_tpu else "jax", max_slots=512,
+        prefix=os.environ.get("SARO_BENCH_PREFIX", "matmul"),
+        packed=os.environ.get("SARO_BENCH_PACKED", "1") == "1",
+        expander=os.environ.get("SARO_BENCH_EXPAND", "pallas"))
+    render = make_render(rcfg)
+    # probe + snug instance capacity (multiple of 64k; sort cost scales
+    # with it)
+    _, inst, dropped = render(jnp.float32(0.5), feat)
+    need = int(inst) + int(dropped)
+    cap = max(-(-int(need * 1.3) // 65536) * 65536, 65536)
+    if cap != rcfg.max_instances:
+        rcfg = rcfg._replace(max_instances=cap)
+        render = make_render(rcfg)
+
     n_frames = 50 if on_tpu else 8
     warmup = 10 if on_tpu else 2
-    ts_list = [jnp.float32(0.5 + 0.3 * math.sin(i / 7)) for i in
+    ts_list = [jnp.float32(0.5 + 0.49 * math.sin(i / 7)) for i in
                range(n_frames)]
-    render(ts_list[0], feat).block_until_ready()
+    jax.block_until_ready(render(ts_list[0], feat))
 
-    # The reference brackets each frame with cuda.synchronize
-    # (test.py:150-163); on locally-attached hardware a sync costs
-    # microseconds, but through a remote PJRT tunnel a per-frame
-    # block_until_ready pays a full network round-trip that has nothing to
-    # do with device throughput.  Equivalent protocol: enqueue each pass
-    # back-to-back and synchronize once per pass, dividing by frames.
+    # per-frame sync through the remote PJRT tunnel pays a network RTT;
+    # equivalent protocol: enqueue a pass, sync every timed frame at the
+    # pass end, divide by frames
     durations = []
     passes = 4 if on_tpu else 1
     for _ in range(passes):
@@ -88,9 +190,7 @@ def main():
                 jax.block_until_ready(outs)
                 outs = []
                 t0 = time.time()
-            outs.append(render(ts, feat))
-        # block on EVERY timed frame (not just the last): robust against
-        # any out-of-order completion in the remote PJRT runtime
+            outs.append(render(ts, feat)[0])
         jax.block_until_ready(outs)
         durations.append((time.time() - t0) / (len(ts_list) - warmup))
     fps = 1.0 / float(np.mean(durations))
@@ -99,9 +199,79 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": None,
+        "scene": scene_desc,
+    }), flush=True)
+
+
+def bench_train():
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _camera, _synthetic_state
+    from saro_gs_tpu.models import densify as dens
+    from saro_gs_tpu.ops.rasterize import RasterConfig
+    from saro_gs_tpu.train import optim
+    from saro_gs_tpu.train import step as step_mod
+    from saro_gs_tpu.train.losses import LossWeights
+    from saro_gs_tpu.train.trainer import TrainState
+
+    on_tpu = jax.default_backend() == "tpu"
+    width, height = (1352, 1014) if on_tpu else (96, 64)
+    n = 200_000 if on_tpu else 500
+    batch = 4 if on_tpu else 2
+    cfg, params, nets, alive, fstatic = _synthetic_state(n=n, capacity=n,
+                                                         seed=3)
+    rng = np.random.RandomState(0)
+    params = params._replace(
+        scaling=jnp.asarray(np.log(rng.uniform(0.003, 0.02, (n, 3))),
+                            jnp.float32))
+    cam = _camera(width, height)
+    rcfg = RasterConfig(tile_x=32, tile_y=32, chunk=128,
+                        max_instances=576 * 1024 if on_tpu else 1 << 14,
+                        backend="pallas" if on_tpu else "jax",
+                        max_slots=128, prefix="matmul", packed=True,
+                        expander="pallas")
+    st = step_mod.StepStatics(
+        mcfg=cfg, rcfg=rcfg, weights=LossWeights(lambda_dssim=0.2),
+        width=width, height=height,
+        cfg_lrs=(1.6e-4, 1.6e-6, 0.01, 30000, 0.0025, 0.05, 0.005, 0.001,
+                 1e-4, 1.6e-4, 1.6e-7, 3.2e-3, 3.2e-6),
+        extent=1.0)
+    state = TrainState(
+        points=params, nets=nets,
+        opt=optim.init_adam({"points": params, "nets": nets}),
+        alive=alive, aux=dens.init_aux(n),
+        inv_integral=jnp.ones((n, 1)),
+        inv_integral_densify=jnp.ones((n, 1)),
+        step=jnp.zeros((), jnp.int32))
+    cams = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x),
+                                   (batch,) + jnp.asarray(x).shape), cam)
+    gt = jnp.zeros((batch, 3, height, width))
+    ts = jnp.linspace(0.1, 0.9, batch).reshape(-1, 1, 1)
+
+    @jax.jit
+    def train_step(state, gt, ts):
+        return step_mod.train_step_core(
+            state, cams, gt, ts, jnp.zeros(3), fstatic, st,
+            stage="dynamatic", sh_degree=3, scale_integral=True)
+
+    state, metrics = train_step(state, gt, ts)
+    jax.block_until_ready(state.points.xyz)
+    reps = 20 if on_tpu else 3
+    t0 = time.time()
+    for _ in range(reps):
+        state, metrics = train_step(state, gt, ts)
+    jax.block_until_ready(state.points.xyz)
+    dt = (time.time() - t0) / reps
+    print(json.dumps({
+        "metric": f"train_steps_per_s_b{batch}_{width}x{height}",
+        "value": round(1.0 / dt, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(1.0 / dt / 1.58, 2),   # round-1 measurement
     }), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    bench_fps()
+    bench_train()
     os._exit(0)  # skip the axon plugin's slow exit teardown
