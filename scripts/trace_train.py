@@ -30,7 +30,8 @@ if __name__ == "__main__":
     cam = _camera(width, height)
     rcfg = RasterConfig(tile_x=32, tile_y=32, chunk=128,
                         max_instances=576 * 1024, backend="pallas",
-                        max_slots=128)
+                        max_slots=128, prefix="matmul", packed=True,
+                        expander="pallas")
     st = step_mod.StepStatics(
         mcfg=cfg, rcfg=rcfg, weights=LossWeights(lambda_dssim=0.2),
         width=width, height=height,
