@@ -195,7 +195,13 @@ def preprocess(means3d: jnp.ndarray,
             mean_x, mean_y, radius_f, grid_x, grid_y, tile_x, tile_y)
     tiles = ((rmax_y - rmin_y) * (rmax_x - rmin_x)).astype(jnp.int32)
 
-    mask = in_front & det_ok & (tiles > 0)
+    # non-finite covariance/position culls like a frustum cull: an inf/NaN
+    # cov2d (e.g. an exploded scale) must not poison binning — int casts of
+    # NaN rects produce garbage tile ids (a NaN compares false everywhere,
+    # so such a splat contributes nothing anyway)
+    finite = (jnp.isfinite(a) & jnp.isfinite(b) & jnp.isfinite(c)
+              & jnp.isfinite(mean_x) & jnp.isfinite(mean_y))
+    mask = in_front & det_ok & finite & (tiles > 0)
     if active is not None:
         mask = mask & (active > 0)
 

@@ -224,9 +224,28 @@ def train_step_core(state, cams, gt, timestamps, bg, fstatic,
     new_params, new_opt = optim.adam_step(
         state.opt, {"points": state.points, "nets": state.nets},
         {"points": g_points, "nets": g_nets}, lr_tree, wd_tree)
+    # physical projection: under the per-Gaussian integral LR scaling
+    # (inv_integral up to 1/min_intergral) Adam's ~lr-sized log-space
+    # steps can run a scale away until exp() overflows; cap at 2x the
+    # camera extent (a splat that big is degenerate regardless)
+    pts = new_params["points"]
+    pts = pts._replace(scaling=jnp.minimum(
+        pts.scaling, jnp.log(2.0 * st.extent + 1e-6)))
     new_state = state._replace(
-        points=new_params["points"], nets=new_params["nets"], opt=new_opt,
+        points=pts, nets=new_params["nets"], opt=new_opt,
         aux=aux, step=state.step + 1)
+
+    # non-finite guard: one bad frame (the reference ASSERTS on NaN
+    # t-center grads, saro_gaussian.py:278-279) must not poison the whole
+    # run — skip the parameter/stat update, keep the step counter.
+    finite = jnp.isfinite(loss)
+    for leaf in jax.tree_util.tree_leaves((g_points, g_nets)):
+        finite = finite & jnp.isfinite(jnp.sum(leaf))
+    skipped = state._replace(step=state.step + 1)
+    new_state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(finite, new, old), new_state, skipped)
+
     metrics = {"loss": loss, "Ll1": ll1, "dropped": dropped,
+               "bad_step": (~finite).astype(jnp.int32),
                "psnr": losses.psnr(jnp.clip(last_img, 0, 1), gt[-1])}
     return new_state, metrics

@@ -350,6 +350,10 @@ class Trainer:
                        "psnr": float(metrics["psnr"]),
                        "points": self.n_alive(),
                        "elapsed_s": time.time() - t_start}
+                if int(metrics.get("bad_step", 0)):
+                    rec["bad_step"] = 1
+                    print(f"[warn] it {it}: non-finite grads — "
+                          f"update skipped")
                 self.history.append(rec)
                 print(f"[{it}/{total}] loss={rec['loss']:.5f} "
                       f"psnr={rec['psnr']:.2f} pts={rec['points']} "
