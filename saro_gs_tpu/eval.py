@@ -181,15 +181,21 @@ class Evaluator:
 def quick_test_psnr(trainer, cameras: List[Camera], max_views=None) -> float:
     """Lightweight in-training validation (training_report, train.py:305)."""
     cfg = trainer.cfg
-    ev = Evaluator(cfg, trainer.scene)
     cam0 = cameras[0]
     # jitted: an eager field_feat op-dispatches through the TPU tunnel and
     # stalls for minutes (same caching as render_set / get_deformfeature)
     feat = jax.jit(gm.field_feat, static_argnames=("cfg",))(
         trainer.state.points, trainer.state.nets,
         trainer.mcfg, trainer.scene.fstatic)
-    render = ev._render_fn(cam0.width, cam0.height,
-                           trainer.active_sh_degree, False)
+    # memoize the jitted render on the trainer: a fresh closure per eval
+    # call is a fresh jit cache entry (re-trace every test iteration)
+    key = (cam0.width, cam0.height, trainer.active_sh_degree)
+    cache = getattr(trainer, "_qp_render_cache", None)
+    if cache is None or cache[0] != key:
+        ev = Evaluator(cfg, trainer.scene)
+        trainer._qp_render_cache = (key, ev._render_fn(
+            cam0.width, cam0.height, trainer.active_sh_degree, False))
+    render = trainer._qp_render_cache[1]
     vals = []
     for cam in cameras[:max_views]:
         out, _ = render(cam.raster_params(), jnp.float32(cam.timestamp),

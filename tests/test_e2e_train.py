@@ -206,3 +206,66 @@ def test_train_loop_converges(scene_dir, tmp_path):
     res = ev.render_set("test", sc2.test_cameras(), sc2.params, sc2.nets,
                         sc2.alive, iteration="final", measure_fps=False)
     assert res["PSNR"] > 14.0, res
+
+
+def test_nan_guard_skips_bad_step(rng, tmp_path):
+    """A poisoned parameter row (inf xyz) must not destroy the state: the
+    step is skipped (bad_step=1), parameters unchanged (train/step.py
+    non-finite guard; the reference asserts instead)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from saro_gs_tpu.config import load_config
+    from saro_gs_tpu import scene as scene_mod
+    from saro_gs_tpu.data import readers
+    from saro_gs_tpu.models.gaussians import PointCloud
+    from saro_gs_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "scene")
+    _write_scene(root, np.random.RandomState(7))
+    cfg = load_config(
+        source_path=root, model_path=str(tmp_path / "m"),
+        loader="blender", duration=DURATION, resolution=1, batch=2,
+        iterations=4, static_iteration=-1, densify=0, preprocesspoints=0,
+        capacity=512, raster_backend="jax", max_instances=8192,
+        max_slots=256,
+        kplanes_config={"grid_dimensions": 2, "input_coordinate_dim": 4,
+                        "output_coordinate_dim": 8,
+                        "resolution": [16, 16, 16, 8]},
+        multires=[1], sh_degree=1, min_intergral=1e-4, min_interval=0.5)
+    orig = readers.read_blender_scene
+
+    def small_reader(*a, **k):
+        info = orig(*a, **k)
+        pc = info.point_cloud
+        sel = np.random.RandomState(0).choice(pc.points.shape[0], 100,
+                                              replace=False)
+        return info._replace(point_cloud=PointCloud(
+            points=pc.points[sel], colors=pc.colors[sel],
+            times=pc.times[sel]))
+
+    readers.SCENE_READERS["blender"] = small_reader
+    try:
+        sc = scene_mod.Scene(cfg)
+    finally:
+        readers.SCENE_READERS["blender"] = orig
+    tr = Trainer(cfg, sc)
+    # poison one alive row with a non-finite position
+    pts = tr.state.points._replace(
+        xyz=tr.state.points.xyz.at[0, 0].set(jnp.inf))
+    tr.state = tr.state._replace(points=pts)
+    loader = sc.train_loader(2, num_workers=1, seed=1)
+    batch = next(iter(loader))
+    args = (jax.tree_util.tree_map(jnp.asarray, batch.cams),
+            jnp.asarray(batch.gt), jnp.asarray(batch.timestamps))
+    before = np.asarray(tr.state.points.scaling)
+    st, m = tr._train_step(tr.state, *args, st=tr._statics(),
+                           stage="dynamatic", sh_degree=1,
+                           scale_integral=True)
+    # either the poisoned row is culled finite (render fine) or the update
+    # was skipped; in both cases the state stays finite on alive rows
+    if int(m["bad_step"]):
+        np.testing.assert_array_equal(np.asarray(st.points.scaling), before)
+    alive = np.asarray(st.alive) > 0
+    assert np.isfinite(np.asarray(st.points.scaling)[alive]).all()
+    assert np.isfinite(np.asarray(st.points.xyz)[alive][1:]).all()
