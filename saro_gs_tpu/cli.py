@@ -53,6 +53,11 @@ def train_main(argv=None):
         overrides["iterations"] = args.iterations
     if args.backend:
         overrides["raster_backend"] = args.backend
+    from .parallel import runtime
+    proc = runtime.init_distributed()   # no-op single-process
+    if proc:
+        print(f"[multi-host] process {proc}/{jax.process_count()}")
+
     cfg = load_config(args.config, **overrides)
     if not cfg.model_path:
         cfg.model_path = os.path.join("log", cfg.dataset or "scene",
