@@ -50,7 +50,7 @@ def find_checkpoint():
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "log", "synth_arena")
     best = None
-    for exp in ("r2b", "r2main"):
+    for exp in ("r2d", "r2main"):
         for tag in ("iteration_best", "iteration_12000"):
             p = os.path.join(root, exp, "point_cloud", tag,
                              "point_cloud.ply")

@@ -122,6 +122,44 @@ def test_packed_payloads_visually_lossless(rng):
     assert psnr > 45.0, psnr
 
 
+def test_packed_payload_gradients_bounded(rng):
+    """packed=True must not just render close — its *gradients* (what
+    training actually consumes; the shipped config trains packed) must
+    track the exact path within bf16 quantization error.  Bounds the
+    convergence risk of training with packed sort payloads."""
+    cam, meta = make_camera()
+    means, scales, quats, opac, shs = make_gaussians(rng, n=40)
+    bg = np.array([0.1, 0.2, 0.3], np.float32)
+    w, h = meta["width"], meta["height"]
+    d_color = jnp.asarray(rng.normal(0, 1, (3, h, w)).astype(np.float32))
+
+    def make_loss(cfg):
+        def loss(m, s, q, o, sh_):
+            out = rasterize(m, s, q, o, cam, jnp.asarray(bg), width=w,
+                            height=h, sh_degree=3, config=cfg, shs=sh_)
+            return jnp.sum(out.color * d_color)
+        return loss
+
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(shs))
+    exact = CFG_PALLAS._replace(tight_rect=True)
+    ga = jax.grad(make_loss(exact), argnums=tuple(range(5)))(*args)
+    gb = jax.grad(make_loss(exact._replace(packed=True)),
+                  argnums=tuple(range(5)))(*args)
+    names = ["means", "scales", "quats", "opac", "shs"]
+    for x, y, name in zip(ga, gb, names):
+        x, y = np.asarray(x), np.asarray(y)
+        scale = np.abs(x).max() + 1e-6
+        err = np.abs(x - y).max() / scale
+        # bf16 mantissa is 8 bits (~2-3 decimal digits); attribute
+        # quantization perturbs alpha/color products roughly linearly
+        assert err < 3e-2, f"{name}: rel err {err}"
+        # direction must agree: cosine similarity of the flattened grads
+        cos = float((x * y).sum() /
+                    (np.linalg.norm(x) * np.linalg.norm(y) + 1e-12))
+        assert cos > 0.999, f"{name}: cosine {cos}"
+
+
 def test_pallas_expander_bit_identical(rng):
     """The windowed one-hot-matmul expansion kernel must reproduce the
     merge-spread sort expansion bit-for-bit (same instances, same order,
