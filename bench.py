@@ -191,6 +191,11 @@ def bench_fps():
                 outs = []
                 t0 = time.time()
             outs.append(render(ts, feat)[0])
+            # bound live HBM to a rolling window of frames: syncing on a
+            # frame ~16 enqueues old is free (it finished long ago) and
+            # lets XLA reuse its output buffer
+            if len(outs) > 16:
+                jax.block_until_ready(outs.pop(0))
         jax.block_until_ready(outs)
         durations.append((time.time() - t0) / (len(ts_list) - warmup))
     fps = 1.0 / float(np.mean(durations))

@@ -111,6 +111,46 @@ class MiniCam:
             tanfovy=np.float32(math.tan(self.fovy * 0.5)))
 
 
+@dataclasses.dataclass
+class Camerass(Camera):
+    """2x-resolution ray-bundle camera (scene/cameras.py:128-214).
+
+    The reference variant doubles ``image_width``/``image_height`` and
+    precomputes per-pixel ray origins/directions by pushing every pixel
+    centre through the inverse projection (pix2ndc -> proj^-1 ->
+    camera-to-world rotation -> normalize).  Unused on the reference main
+    path but part of its public camera surface; here it is one vectorized
+    numpy pass producing ``rayo``/``rayd`` as [1, 3, H, W] float32 like
+    cameras.py:209-211.
+    """
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.width = 2 * self.width
+        self.height = 2 * self.height
+        h, w = self.height, self.width
+        # pixel centres -> NDC (pix2ndc: ((2v + 1) / S) - 1)
+        xs = (2.0 * np.arange(w, dtype=np.float64) + 1.0) / w - 1.0
+        ys = (2.0 * np.arange(h, dtype=np.float64) + 1.0) / h - 1.0
+        ndcx, ndcy = np.meshgrid(xs, ys)                     # [H, W]
+        ndc = np.stack([ndcx, ndcy, np.ones_like(ndcx),
+                        np.ones_like(ndcx)], axis=-1)        # [H, W, 4]
+        # row-vector convention: stored matrices are already transposed, so
+        # the reference's ``ndc @ (proj^T)^-1 . T`` is ``ndc @ inv(proj)``
+        proj = math3d.projection_matrix(ZNEAR, ZFAR, self.fovx, self.fovy,
+                                        self.cx_ratio, self.cy_ratio)
+        cam_pt = ndc @ np.linalg.inv(proj.astype(np.float64))
+        cam_pt = cam_pt[..., :3] / cam_pt[..., 3:4]
+        c2w = np.linalg.inv(self.world_view.astype(np.float64))
+        direction = cam_pt @ c2w[:3, :3]
+        direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+        self.rayd = np.transpose(direction, (2, 0, 1))[None].astype(
+            np.float32)                                      # [1, 3, H, W]
+        self.rayo = np.broadcast_to(
+            self.camera_center.reshape(1, 3, 1, 1),
+            self.rayd.shape).astype(np.float32)
+
+
 def resolution_policy(orig_w: int, orig_h: int, resolution: int,
                       resolution_scale: float = 1.0) -> Tuple[int, int]:
     """The reference's resolution policy (utils/camera_utils.py:73-95):

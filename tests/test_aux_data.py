@@ -244,3 +244,38 @@ def test_sparsify_keeps_frame0_and_isolated_points():
     out2 = sparsify(PointCloud(points=pts, colors=np.zeros_like(pts),
                                times=t2), n=5)
     assert out2.points.shape[0] == 1
+
+
+def test_camerass_rays_reproject_to_pixels():
+    """Camerass (scene/cameras.py:128-214): 2x resolution; per-pixel rays
+    must re-project through full_proj onto their own pixel centres and
+    point forward (+z) in view space; rayo is the camera centre."""
+    from saro_gs_tpu.data.cameras import Camera, Camerass
+
+    rng = np.random.RandomState(3)
+    th = 0.4
+    c, s = np.cos(th), np.sin(th)
+    R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    cam = Camerass(uid=0, R=R, T=np.array([0.1, -0.2, 4.0]),
+                   fovx=1.0, fovy=0.8, width=32, height=24, timestamp=0.3)
+    assert cam.width == 64 and cam.height == 48
+    assert cam.rayd.shape == (1, 3, 48, 64)
+    np.testing.assert_allclose(
+        cam.rayo[0, :, 0, 0], cam.camera_center, atol=1e-6)
+    np.testing.assert_allclose(
+        np.linalg.norm(cam.rayd, axis=1), 1.0, atol=1e-5)
+
+    for _ in range(20):
+        i = rng.randint(cam.height)
+        j = rng.randint(cam.width)
+        o = cam.rayo[0, :, i, j].astype(np.float64)
+        d = cam.rayd[0, :, i, j].astype(np.float64)
+        p = np.append(o + 3.0 * d, 1.0)
+        # forward in view space (row-vector convention)
+        view = p @ cam.world_view.astype(np.float64)
+        assert view[2] > 0
+        clip = p @ cam.full_proj.astype(np.float64)
+        ndc = clip[:2] / clip[3]
+        np.testing.assert_allclose(
+            ndc, [(2 * j + 1) / cam.width - 1,
+                  (2 * i + 1) / cam.height - 1], atol=1e-5)
