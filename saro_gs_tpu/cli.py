@@ -55,7 +55,7 @@ def train_main(argv=None):
         overrides["raster_backend"] = args.backend
     from .parallel import runtime
     proc = runtime.init_distributed()   # no-op single-process
-    if proc:
+    if jax.process_count() > 1:
         print(f"[multi-host] process {proc}/{jax.process_count()}")
 
     cfg = load_config(args.config, **overrides)

@@ -57,21 +57,23 @@ class Camera:
             tanfovy=np.float32(self.tanfovy))
 
     # ---- image loading ---------------------------------------------------
-    def load_image(self, white_background: bool = False) -> np.ndarray:
+    def load_image(self, white_background: bool = False,
+                   size=None) -> np.ndarray:
         """Decode + resize the GT image to (height, width); returns
         [3, H, W] float32 in [0, 1].  Alpha is composited over the
         background (Blender) like scene/dataset.py:57-97."""
         if self._image is not None:
             return self._image
+        w, h = size if size is not None else (self.width, self.height)
         from .. import native
         bg = (1.0, 1.0, 1.0) if white_background else (0.0, 0.0, 0.0)
-        img = native.load_image(self.image_path, self.width, self.height, bg)
+        img = native.load_image(self.image_path, w, h, bg)
         if img is not None:
             return img
         from PIL import Image
         img = Image.open(self.image_path)
-        if img.size != (self.width, self.height):
-            img = img.resize((self.width, self.height), Image.LANCZOS)
+        if img.size != (w, h):
+            img = img.resize((w, h), Image.LANCZOS)
         arr = np.asarray(img).astype(np.float32) / 255.0
         if arr.ndim == 2:
             arr = arr[..., None].repeat(3, -1)
@@ -126,6 +128,10 @@ class Camerass(Camera):
 
     def __post_init__(self):
         super().__post_init__()
+        # only the ray grid / render size doubles; the GT image stays at
+        # the base resolution (the reference doubles image_width/height
+        # for the rays but original_image keeps the loaded size)
+        self.base_width, self.base_height = self.width, self.height
         self.width = 2 * self.width
         self.height = 2 * self.height
         h, w = self.height, self.width
@@ -149,6 +155,12 @@ class Camerass(Camera):
         self.rayo = np.broadcast_to(
             self.camera_center.reshape(1, 3, 1, 1),
             self.rayd.shape).astype(np.float32)
+
+    def load_image(self, white_background: bool = False,
+                   size=None) -> np.ndarray:
+        if size is None:
+            size = (self.base_width, self.base_height)
+        return super().load_image(white_background, size=size)
 
 
 def resolution_policy(orig_w: int, orig_h: int, resolution: int,

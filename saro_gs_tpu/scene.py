@@ -34,6 +34,44 @@ def _next_pow2(n: int) -> int:
     return c
 
 
+def load_gaussian_checkpoint(path: str, nets_template, capacity=None):
+    """point_cloud.ply + sibling .npz -> (params, nets, alive, fstatic, n).
+
+    ``capacity`` — None keeps the exact point count (eval/bench: the sort
+    cost scales with capacity, so no padding); an int pads with dead rows;
+    a callable receives n and returns the capacity (training restore).
+    Counterpart of save: Scene.save / reference load_ply
+    (saro_gaussian.py:458-526)."""
+    d = ply.load_gaussian_ply(path)
+    n = d["xyz"].shape[0]
+    cap = n if capacity is None else (
+        capacity(n) if callable(capacity) else capacity)
+
+    def pad(x, fill=0.0):
+        padding = [(0, cap - n)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.asarray(np.pad(x, padding, constant_values=fill),
+                           jnp.float32)
+
+    params = gm.GaussianParams(
+        xyz=pad(d["xyz"]), features_dc=pad(d["f_dc"]),
+        features_rest=pad(d["f_rest"]),
+        scaling=pad(d["scaling"], fill=-10.0),
+        rotation=pad(d["rotation"]),
+        opacity=pad(d["opacity"], fill=-10.0),
+        temporal_pos=pad(d["temporal_pos"], fill=0.5))
+    alive = (jnp.arange(cap) < n).astype(jnp.float32)
+    npz = np.load(path.replace(".ply", ".npz"))
+    flat = [jnp.asarray(npz[f"leaf_{i}"])
+            for i in range(int(npz["num_leaves"]))]
+    treedef = jax.tree_util.tree_structure(nets_template)
+    nets = jax.tree_util.tree_unflatten(treedef, flat)
+    fstatic = field_mod.FieldStatic(
+        aabb_min=jnp.asarray(npz["aabb_min"]),
+        aabb_max=jnp.asarray(npz["aabb_max"]),
+        duration=jnp.asarray(npz["duration"]))
+    return params, nets, alive, fstatic, n
+
+
 class Scene:
     def __init__(self, cfg: Config, load_iteration: Optional[str] = None,
                  is_rendering: bool = False):
@@ -143,32 +181,10 @@ class Scene:
         return path
 
     def load_checkpoint(self, path: str):
-        d = ply.load_gaussian_ply(path)
-        n = d["xyz"].shape[0]
-        capacity = max(self.cfg.capacity, _next_pow2(n))
-
-        def pad(x, fill=0.0):
-            padding = [(0, capacity - n)] + [(0, 0)] * (x.ndim - 1)
-            return jnp.asarray(np.pad(x, padding, constant_values=fill),
-                               jnp.float32)
-
-        self.params = gm.GaussianParams(
-            xyz=pad(d["xyz"]), features_dc=pad(d["f_dc"]),
-            features_rest=pad(d["f_rest"]), scaling=pad(d["scaling"],
-                                                        fill=-10.0),
-            rotation=pad(d["rotation"]), opacity=pad(d["opacity"],
-                                                     fill=-10.0),
-            temporal_pos=pad(d["temporal_pos"], fill=0.5))
-        self.alive = (jnp.arange(capacity) < n).astype(jnp.float32)
-        npz = np.load(path.replace(".ply", ".npz"))
-        flat = [jnp.asarray(npz[f"leaf_{i}"])
-                for i in range(int(npz["num_leaves"]))]
-        treedef = jax.tree_util.tree_structure(self.nets)
-        self.nets = jax.tree_util.tree_unflatten(treedef, flat)
-        self.fstatic = field_mod.FieldStatic(
-            aabb_min=jnp.asarray(npz["aabb_min"]),
-            aabb_max=jnp.asarray(npz["aabb_max"]),
-            duration=jnp.asarray(npz["duration"]))
+        (self.params, self.nets, self.alive, self.fstatic,
+         _n) = load_gaussian_checkpoint(
+            path, self.nets,
+            capacity=lambda n: max(self.cfg.capacity, _next_pow2(n)))
 
     def record_points(self, iteration, note: str, n_points: int):
         """exp_log.txt journal (helper_train.recordpointshelper:189-194)."""

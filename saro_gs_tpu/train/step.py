@@ -239,11 +239,21 @@ def train_step_core(state, cams, gt, timestamps, bg, fstatic,
     # t-center grads, saro_gaussian.py:278-279) must not poison the whole
     # run — skip the parameter/stat update, keep the step counter.
     finite = jnp.isfinite(loss)
-    for leaf in jax.tree_util.tree_leaves((g_points, g_nets)):
+    # g_m2d feeds the densify-stat accumulator (aux) which persists across
+    # steps — a NaN there would poison every later densify decision, so it
+    # must gate the update like the parameter grads do
+    for leaf in jax.tree_util.tree_leaves((g_points, g_nets, g_m2d)):
         finite = finite & jnp.isfinite(jnp.sum(leaf))
     skipped = state._replace(step=state.step + 1)
     new_state = jax.tree_util.tree_map(
         lambda new, old: jnp.where(finite, new, old), new_state, skipped)
+    # cumulative health counters update even on skipped steps: the host
+    # reads them on a stride (a per-step read would serialize the remote
+    # tunnel), so per-step metrics alone would leave blind spots
+    new_state = new_state._replace(
+        dropped_hwm=jnp.maximum(state.dropped_hwm,
+                                dropped).astype(jnp.int32),
+        bad_steps=state.bad_steps + (~finite).astype(jnp.int32))
 
     metrics = {"loss": loss, "Ll1": ll1, "dropped": dropped,
                "bad_step": (~finite).astype(jnp.int32),

@@ -42,6 +42,11 @@ class TrainState(NamedTuple):
     inv_integral: jnp.ndarray      # [C, 1] LR scaling (refreshed / 50 it)
     inv_integral_densify: jnp.ndarray  # [C, 1]
     step: jnp.ndarray              # int32
+    # health counters accumulated in-graph so the host can read them on a
+    # stride without missing events between reads (np defaults keep older
+    # constructors working and avoid device work at class-def time)
+    dropped_hwm: jnp.ndarray = np.int32(0)  # max dropped since last read
+    bad_steps: jnp.ndarray = np.int32(0)    # cumulative non-finite steps
 
 
 def dataclasses_dict(cfg) -> dict:
@@ -113,7 +118,10 @@ class Trainer:
         # snug multiple of 64k (NOT a power of two — the sort/scan cost
         # scales linearly with the capacity, so pow2 rounding can nearly
         # double the per-step cost for nothing)
-        cap = -(-int(need * cfg.presize_factor) // 65536) * 65536
+        # floor at one 64k block: a zero-instance probe (first camera sees
+        # nothing at its timestamp) must not set capacity 0, from which the
+        # overflow doubling (0*2) could never recover
+        cap = max(-(-int(need * cfg.presize_factor) // 65536) * 65536, 65536)
         if cap != self.rcfg.max_instances:
             print(f"[presize] probe {need} instances -> max_instances "
                   f"{self.rcfg.max_instances} -> {cap}")
@@ -247,7 +255,7 @@ class Trainer:
             inv_integral_densify=jnp.pad(s.inv_integral_densify,
                                          [(0, extra), (0, 0)],
                                          constant_values=1.0),
-            step=s.step)
+            step=s.step, dropped_hwm=s.dropped_hwm, bad_steps=s.bad_steps)
         print(f"[capacity] grown {old} -> {new}")
 
     def stage_at(self, iteration: int) -> str:
@@ -289,6 +297,7 @@ class Trainer:
                                          num_workers=cfg.data_workers,
                                          seed=cfg.seed)
         it = int(self.state.step)
+        self._bad_seen = int(jax.device_get(self.state.bad_steps))
         t_start = time.time()
         wandb = None
         if cfg.use_wandb:
@@ -331,18 +340,23 @@ class Trainer:
 
             self._density_control(it, stage)
 
-            # overflow check: reading "dropped" forces a device sync, which
+            # overflow check: reading a device scalar forces a sync, which
             # through the remote TPU tunnel serializes every step on a
             # network round-trip (measured 1.6 s/it vs 0.27 s compute).
-            # Check on a stride so steps pipeline; a rare overflow trains
-            # up to `overflow_check_every` frames on a truncated tail.
-            if it % cfg.overflow_check_every == 0 and \
-                    int(metrics["dropped"]) > 0:
-                self.rcfg = self.rcfg._replace(
-                    max_instances=self.rcfg.max_instances * 2)
-                print(f"[warn] it {it}: {int(metrics['dropped'])} instances "
-                      f"dropped — max_instances -> "
-                      f"{self.rcfg.max_instances}")
+            # Check on a stride so steps pipeline; dropped_hwm accumulates
+            # the max dropped IN-GRAPH, so overflows on steps between
+            # strides are still caught (at most `overflow_check_every`
+            # frames train on a truncated tail before the grow).
+            if it % cfg.overflow_check_every == 0:
+                hwm = int(jax.device_get(self.state.dropped_hwm))
+                if hwm > 0:
+                    self.rcfg = self.rcfg._replace(
+                        max_instances=self.rcfg.max_instances * 2)
+                    print(f"[warn] it {it}: up to {hwm} instances dropped "
+                          f"since last check — max_instances -> "
+                          f"{self.rcfg.max_instances}")
+                    self.state = self.state._replace(
+                        dropped_hwm=jnp.zeros((), jnp.int32))
             if it % log_every == 0 or it == 1:
                 rec = {"it": it, "stage": stage,
                        "loss": float(metrics["loss"]),
@@ -350,10 +364,13 @@ class Trainer:
                        "psnr": float(metrics["psnr"]),
                        "points": self.n_alive(),
                        "elapsed_s": time.time() - t_start}
-                if int(metrics.get("bad_step", 0)):
-                    rec["bad_step"] = 1
-                    print(f"[warn] it {it}: non-finite grads — "
-                          f"update skipped")
+                bad_total = int(jax.device_get(self.state.bad_steps))
+                if bad_total > self._bad_seen:
+                    rec["bad_step"] = bad_total - self._bad_seen
+                    rec["bad_steps_total"] = bad_total
+                    print(f"[warn] {bad_total - self._bad_seen} non-finite "
+                          f"step(s) skipped since it {it - log_every}")
+                    self._bad_seen = bad_total
                 self.history.append(rec)
                 print(f"[{it}/{total}] loss={rec['loss']:.5f} "
                       f"psnr={rec['psnr']:.2f} pts={rec['points']} "
