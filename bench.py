@@ -50,20 +50,25 @@ def find_checkpoint():
     path = os.environ.get("SARO_BENCH_CKPT", "")
     if path:
         return path if os.path.exists(path) else None
+    import glob as _glob
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "log", "synth_arena")
-    best = None
     for exp in ("r2d", "r2main"):
-        for tag in ("iteration_best", "iteration_12000"):
+        tags = ["iteration_best"]
+        # fall back to the highest saved iteration if best/final missing
+        pat = os.path.join(root, exp, "point_cloud", "iteration_*")
+        nums = sorted((int(os.path.basename(d).split("_")[1])
+                       for d in _glob.glob(pat)
+                       if os.path.basename(d).split("_")[1].isdigit()),
+                      reverse=True)
+        tags += [f"iteration_{i}" for i in nums]
+        for tag in tags:
             p = os.path.join(root, exp, "point_cloud", tag,
                              "point_cloud.ply")
             if os.path.exists(p) and os.path.exists(
                     p.replace(".ply", ".npz")):
-                best = p
-                break
-        if best:
-            break
-    return best
+                return p
+    return None
 
 
 def load_ckpt_state(path, mcfg):

@@ -45,7 +45,8 @@ def make_mesh(n_data: int = 1, n_tile: int = 1,
 
 def dp_train_step(state, cams, gt, timestamps, bg, fstatic,
                   st: step_mod.StepStatics, *, stage: str, sh_degree: int,
-                  scale_integral: bool, n_data: int, n_tile: int = 1):
+                  scale_integral: bool, n_data: int, n_tile: int = 1,
+                  sh_mask=None):
     """Training step over a (data, tile) mesh.
 
     The view batch is sharded over ``data`` (the reference's batch mean,
@@ -58,18 +59,32 @@ def dp_train_step(state, cams, gt, timestamps, bg, fstatic,
     batch_spec = P("data")
     rep = P()
 
-    def inner(state, cams, gt, timestamps, bg_, fstatic_):
+    if sh_mask is None:
+        # all-ones over the ALLOCATED coefficients (dc + rest), not the
+        # active degree — the mask multiplies the full shs tensor
+        k_alloc = 1 + state.points.features_rest.shape[1]
+        sh_mask = jnp.ones((k_alloc, 1), jnp.float32)
+    # scale_integral may be traced (the flag flips mid-run without a
+    # recompile) — pass it as an explicit replicated operand, shard_map
+    # must not close over tracers
+    scale_flag = jnp.asarray(scale_integral)
+
+    def inner(state, cams, gt, timestamps, bg_, fstatic_, sh_mask_,
+              scale_):
         return step_mod.train_step_core(
             state, cams, gt, timestamps, bg_, fstatic_, st, stage=stage,
-            sh_degree=sh_degree, scale_integral=scale_integral,
+            sh_degree=sh_degree, scale_integral=scale_,
+            sh_mask=sh_mask_,
             axis_name="data" if n_data > 1 else None,
             axis_tile="tile" if n_tile > 1 else None, n_tile=n_tile)
 
     fn = jax.shard_map(
         inner, mesh=mesh,
-        in_specs=(rep, batch_spec, batch_spec, batch_spec, rep, rep),
+        in_specs=(rep, batch_spec, batch_spec, batch_spec, rep, rep, rep,
+                  rep),
         out_specs=(rep, rep), check_vma=False)
-    return fn(state, cams, gt, timestamps, bg, fstatic)
+    return fn(state, cams, gt, timestamps, bg, fstatic, sh_mask,
+              scale_flag)
 
 
 # ---------------------------------------------------------------------------

@@ -35,19 +35,26 @@ def train_render(cam: CameraParams, timestamp,
                  rcfg: RasterConfig,
                  mean2d_dummy: Optional[jnp.ndarray] = None,
                  feat: Optional[jnp.ndarray] = None,
-                 row0=None) -> RenderPackage:
+                 row0=None, sh_mask=None) -> RenderPackage:
+    # sh_mask ([K, 1] float, traced): zero the coefficients above the
+    # active ramp degree so ONE compiled graph (full-degree basis) serves
+    # every ramp stage — identical colors AND gradients to the reference's
+    # degree-truncated sum, since masked coefficients contribute nothing
+    # and receive zero cotangents.
+    def msk(shs):
+        return shs if sh_mask is None else shs * sh_mask
     if stage == "dynamatic":
         d = gm.deform(params, nets, mcfg, fstatic, timestamp, feat=feat)
         out = rasterize(d.xyz, d.scaling, d.rotation, d.opacity.reshape(-1),
                         cam, bg, width=width, height=height,
-                        sh_degree=sh_degree, config=rcfg, shs=d.shs,
+                        sh_degree=sh_degree, config=rcfg, shs=msk(d.shs),
                         mean2d_dummy=mean2d_dummy, active=alive, row0=row0)
         return RenderPackage(out=out, deform=d)
     out = rasterize(params.xyz, gm.get_scaling(params),
                     gm.get_rotation(params),
                     gm.get_opacity(params).reshape(-1), cam, bg,
                     width=width, height=height, sh_degree=sh_degree,
-                    config=rcfg, shs=gm.get_features(params),
+                    config=rcfg, shs=msk(gm.get_features(params)),
                     mean2d_dummy=mean2d_dummy, active=alive, row0=row0)
     return RenderPackage(out=out, deform=None)
 

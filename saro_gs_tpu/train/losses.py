@@ -127,8 +127,14 @@ def composite_loss(w: LossWeights, image, gt_image, *,
                    t_centers=None,
                    scale_residual=None, shs_residual=None,
                    motion_residual=None, active_sh_degree: int = 3,
+                   sh_mask=None,
                    grids=None, plane_tv_fn=None, time_smooth_fn=None):
-    """The training loss (helper_train.py:50-99).  Returns (loss, dict)."""
+    """The training loss (helper_train.py:50-99).  Returns (loss, dict).
+
+    ``sh_mask`` ([K, 1] float, traced) supersedes ``active_sh_degree``:
+    the SH-degree ramp then changes an input instead of the compiled
+    graph (each static degree was a separate 10-30+ min remote compile).
+    """
     ll1 = l1_loss(image, gt_image)
     logs = {"Ll1": ll1}
     if w.lambda_dssim > 0:
@@ -146,8 +152,11 @@ def composite_loss(w: LossWeights, image, gt_image, *,
         loss = loss + w.lambda_dscale_reg * lscale
         logs["Ldscale_reg"] = lscale
     if w.lambda_dshs_reg > 0 and shs_residual is not None:
-        k = (active_sh_degree + 1) ** 2
-        r = shs_residual[:, :k].reshape(shs_residual.shape[0], -1)
+        if sh_mask is not None:
+            r = (shs_residual * sh_mask).reshape(shs_residual.shape[0], -1)
+        else:
+            k = (active_sh_degree + 1) ** 2
+            r = shs_residual[:, :k].reshape(shs_residual.shape[0], -1)
         lshs = jnp.linalg.norm(r)
         loss = loss + w.lambda_dshs_reg * lshs
         logs["Ldshs_reg"] = lshs

@@ -49,6 +49,7 @@ def _masked_std(x, mask):
 
 def batch_loss_fn(points, nets, m2d, *, cams, gt, timestamps, alive, bg,
                   fstatic, st: StepStatics, stage: str, sh_degree: int,
+                  sh_mask=None,
                   axis_tile: Optional[str] = None, n_tile: int = 1):
     """Mean loss over the (local) view batch; aux = (radii, ll1, dropped,
     last image).
@@ -89,7 +90,7 @@ def batch_loss_fn(points, nets, m2d, *, cams, gt, timestamps, alive, bg,
             cam, timestamps[i], points, nets, alive, mcfg, fstatic, bg,
             width=st.width, height=st.height, stage=stage,
             sh_degree=sh_degree, rcfg=rcfg, mean2d_dummy=m2d[i],
-            feat=feat, row0=row0)
+            feat=feat, row0=row0, sh_mask=sh_mask)
         color = pkg.out.color
         if axis_tile is not None:
             # strips -> full frame; the transpose routes each device its
@@ -106,7 +107,7 @@ def batch_loss_fn(points, nets, m2d, *, cams, gt, timestamps, alive, bg,
                           else d.shs_residual * alive_col[..., None]),
             motion_residual=(None if d is None or d.motion_residual is None
                             else d.motion_residual * alive_col),
-            active_sh_degree=sh_degree,
+            active_sh_degree=sh_degree, sh_mask=sh_mask,
             grids=nets.grids if (weights.lambda_dplanetv > 0 or
                                  weights.lambda_dtime_smooth > 0) else None,
             plane_tv_fn=field_mod.plane_tv,
@@ -124,8 +125,12 @@ def batch_loss_fn(points, nets, m2d, *, cams, gt, timestamps, alive, bg,
 
 
 def lr_trees(step, inv_integral, points_tpl, nets_tpl, st: StepStatics,
-             *, stage: str, scale_integral: bool):
-    """LR pytrees per update_learning_rate (saro_gaussian.py:345-398)."""
+             *, stage: str, scale_integral):
+    """LR pytrees per update_learning_rate (saro_gaussian.py:345-398).
+
+    ``scale_integral`` may be a python bool or a traced 0/1 scalar — it
+    only gates an LR factor, so keeping it traced avoids a full step
+    recompile when the flag flips at densify_until_iter."""
     (pli, plf, pldm, plms, feat_lr, op_lr, sc_lr, rot_lr, tc_lr,
      mlp_i, mlp_f, hex_i, hex_f) = st.cfg_lrs
     ext = st.extent
@@ -134,7 +139,11 @@ def lr_trees(step, inv_integral, points_tpl, nets_tpl, st: StepStatics,
                             lr_delay_mult=pldm)
     mlp_lr = optim.expon_lr(step, mlp_i, mlp_f, plms)
     hex_lr = optim.expon_lr(step, hex_i, hex_f, plms)
-    scal_lr = sc_lr * inv if scale_integral else sc_lr
+    if isinstance(scale_integral, bool):
+        scal_lr = sc_lr * inv if scale_integral else sc_lr
+    else:
+        scal_lr = sc_lr * jnp.where(scale_integral, inv,
+                                    jnp.ones_like(inv))
 
     points_lr = gm.GaussianParams(
         xyz=xyz_lr * inv, features_dc=feat_lr * inv,
@@ -158,7 +167,7 @@ def lr_trees(step, inv_integral, points_tpl, nets_tpl, st: StepStatics,
 
 def train_step_core(state, cams, gt, timestamps, bg, fstatic,
                     st: StepStatics, *, stage: str, sh_degree: int,
-                    scale_integral: bool,
+                    scale_integral: bool, sh_mask=None,
                     axis_name: Optional[str] = None,
                     axis_tile: Optional[str] = None, n_tile: int = 1):
     """One full optimization step; under ``shard_map`` pass ``axis_name``
@@ -173,8 +182,8 @@ def train_step_core(state, cams, gt, timestamps, bg, fstatic,
         return batch_loss_fn(points, nets, m2d, cams=cams, gt=gt,
                              timestamps=timestamps, alive=state.alive,
                              bg=bg, fstatic=fstatic, st=st, stage=stage,
-                             sh_degree=sh_degree, axis_tile=axis_tile,
-                             n_tile=n_tile)
+                             sh_degree=sh_degree, sh_mask=sh_mask,
+                             axis_tile=axis_tile, n_tile=n_tile)
 
     (loss, (radii, ll1, dropped, last_img)), grads = \
         jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(

@@ -138,34 +138,37 @@ class Trainer:
             cfg_lrs=step.make_lr_statics(self.cfg),
             extent=self.scene.cameras_extent)
 
-    @functools.partial(jax.jit, static_argnames=("self", "st", "stage",
-                                                 "sh_degree",
-                                                 "scale_integral"))
+    @functools.partial(jax.jit, static_argnames=("self", "st", "stage"))
     def _train_step(self, state: TrainState, cams: CameraParams,
-                    gt: jnp.ndarray, timestamps: jnp.ndarray, *,
-                    st: step.StepStatics, stage: str, sh_degree: int,
-                    scale_integral: bool):
+                    gt: jnp.ndarray, timestamps: jnp.ndarray,
+                    sh_mask: jnp.ndarray, scale_integral: jnp.ndarray, *,
+                    st: step.StepStatics, stage: str):
         # ``st`` is passed explicitly (not via self) so mutating
-        # self.rcfg — e.g. instance-capacity growth — re-traces
+        # self.rcfg — e.g. instance-capacity growth — re-traces.
+        # The SH ramp rides the traced ``sh_mask`` (NOT a static degree):
+        # each degree change would otherwise be a full remote recompile.
+        sh_degree = self.cfg.sh_degree
         if self.cfg.mesh_data > 1 or self.cfg.mesh_tile > 1:
             from ..parallel import shard
             return shard.dp_train_step(
                 state, cams, gt, timestamps, self.bg, self.scene.fstatic,
-                st, stage=stage, sh_degree=sh_degree,
+                st, stage=stage, sh_degree=sh_degree, sh_mask=sh_mask,
                 scale_integral=scale_integral, n_data=self.cfg.mesh_data,
                 n_tile=self.cfg.mesh_tile)
         return step.train_step_core(
             state, cams, gt, timestamps, self.bg, self.scene.fstatic,
-            st, stage=stage, sh_degree=sh_degree,
+            st, stage=stage, sh_degree=sh_degree, sh_mask=sh_mask,
             scale_integral=scale_integral)
 
-    @functools.partial(jax.jit, static_argnames=("self", "use_integral"))
-    def _integral_refresh(self, state: TrainState, *, use_integral: bool):
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _integral_refresh(self, state: TrainState, use_integral):
+        # use_integral is traced (0/1 scalar): it flips once mid-run at
+        # densify_until_iter and must not trigger a remote recompile
         integral = gm.temporal_integral(state.points, state.nets, self.mcfg,
                                         self.scene.fstatic)
         alive, inv = dens.integral_prune_and_lr(state.alive, integral,
                                                 self.mcfg.min_intergral)
-        inv_lr = inv if use_integral else jnp.ones_like(inv)
+        inv_lr = jnp.where(use_integral, inv, jnp.ones_like(inv))
         return state._replace(alive=alive, inv_integral=inv_lr,
                               inv_integral_densify=inv)
 
@@ -258,6 +261,32 @@ class Trainer:
             step=s.step, dropped_hwm=s.dropped_hwm, bad_steps=s.bad_steps)
         print(f"[capacity] grown {old} -> {new}")
 
+    def _sh_mask(self, active_degree: int) -> jnp.ndarray:
+        """[K, 1] coefficient mask for the SH ramp (cached per degree so
+        the device array is reused — a fresh host array every step would
+        pay a tunnel transfer per iteration)."""
+        cache = getattr(self, "_sh_mask_cache", None)
+        if cache is None:
+            cache = self._sh_mask_cache = {}
+        if active_degree not in cache:
+            # mask over the ALLOCATED coefficients (dc + rest = 16), not
+            # cfg.sh_degree — params always allocate the full deg-3 set
+            k = 1 + self.state.points.features_rest.shape[1]
+            cache[active_degree] = jnp.asarray(
+                (np.arange(k) < (active_degree + 1) ** 2)[:, None],
+                jnp.float32)
+        return cache[active_degree]
+
+    def _flag(self, v: bool) -> jnp.ndarray:
+        """Cached 0/1 device scalar (fresh host scalars every step would
+        pay a tunnel transfer per iteration)."""
+        cache = getattr(self, "_flag_cache", None)
+        if cache is None:
+            cache = self._flag_cache = {}
+        if bool(v) not in cache:
+            cache[bool(v)] = jnp.asarray(bool(v))
+        return cache[bool(v)]
+
     def stage_at(self, iteration: int) -> str:
         return ("dynamatic" if iteration > self.cfg.static_iteration
                 else "static")
@@ -318,12 +347,13 @@ class Trainer:
             use_int, scale_int = self.integral_flags(it)
             if stage == "dynamatic" and it % 50 == 0:
                 self.state = self._integral_refresh(self.state,
-                                                    use_integral=use_int)
+                                                    self._flag(use_int))
             cams_g, gt_g, ts_g = self._globalize(batch)
             self.state, metrics = self._train_step(
                 self.state, cams_g, gt_g, ts_g,
-                st=self._statics(), stage=stage,
-                sh_degree=self.active_sh_degree, scale_integral=scale_int)
+                self._sh_mask(self.active_sh_degree),
+                self._flag(scale_int),
+                st=self._statics(), stage=stage)
 
             if cfg.profile_dir and it == cfg.profile_iters[1]:
                 jax.block_until_ready(self.state.points.xyz)

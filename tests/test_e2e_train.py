@@ -259,9 +259,8 @@ def test_nan_guard_skips_bad_step(rng, tmp_path):
     args = (jax.tree_util.tree_map(jnp.asarray, batch.cams),
             jnp.asarray(batch.gt), jnp.asarray(batch.timestamps))
     before = np.asarray(tr.state.points.scaling)
-    st, m = tr._train_step(tr.state, *args, st=tr._statics(),
-                           stage="dynamatic", sh_degree=1,
-                           scale_integral=True)
+    st, m = tr._train_step(tr.state, *args, tr._sh_mask(1), tr._flag(True),
+                           st=tr._statics(), stage="dynamatic")
     # either the poisoned row is culled finite (render fine) or the update
     # was skipped; in both cases the state stays finite on alive rows
     if int(m["bad_step"]):

@@ -103,10 +103,12 @@ def test_dp_train_step_matches_single(rng, tmp_path):
     batch = next(iter(loader))
     args = (jax.tree_util.tree_map(jnp.asarray, batch.cams),
             jnp.asarray(batch.gt), jnp.asarray(batch.timestamps))
-    s1, m1 = tr1._train_step(tr1.state, *args, st=tr1._statics(), stage="dynamatic",
-                             sh_degree=1, scale_integral=True)
-    s4, m4 = tr4._train_step(tr4.state, *args, st=tr4._statics(), stage="dynamatic",
-                             sh_degree=1, scale_integral=True)
+    s1, m1 = tr1._train_step(tr1.state, *args, tr1._sh_mask(1),
+                             tr1._flag(True), st=tr1._statics(),
+                             stage="dynamatic")
+    s4, m4 = tr4._train_step(tr4.state, *args, tr4._sh_mask(1),
+                             tr4._flag(True), st=tr4._statics(),
+                             stage="dynamatic")
     np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]),
                                rtol=1e-5)
     # updated params agree to fp tolerance (reduction order differs)
@@ -173,12 +175,12 @@ def test_tile_train_step_matches_single(rng, tmp_path, mesh_shape):
     batch = next(iter(loader))
     args = (jax.tree_util.tree_map(jnp.asarray, batch.cams),
             jnp.asarray(batch.gt), jnp.asarray(batch.timestamps))
-    s1, m1 = tr1._train_step(tr1.state, *args, st=tr1._statics(),
-                             stage="dynamatic", sh_degree=1,
-                             scale_integral=True)
-    sn, mn = trn._train_step(trn.state, *args, st=trn._statics(),
-                             stage="dynamatic", sh_degree=1,
-                             scale_integral=True)
+    s1, m1 = tr1._train_step(tr1.state, *args, tr1._sh_mask(1),
+                             tr1._flag(True), st=tr1._statics(),
+                             stage="dynamatic")
+    sn, mn = trn._train_step(trn.state, *args, trn._sh_mask(1),
+                             trn._flag(True), st=trn._statics(),
+                             stage="dynamatic")
     np.testing.assert_allclose(float(m1["Ll1"]), float(mn["Ll1"]),
                                rtol=1e-5)
     for name in ("xyz", "scaling", "opacity", "temporal_pos"):
