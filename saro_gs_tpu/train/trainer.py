@@ -277,6 +277,35 @@ class Trainer:
                 jnp.float32)
         return cache[active_degree]
 
+    def _precompile_dynamic(self, cams_g, gt_g, ts_g):
+        """AOT-compile the dynamic-stage step in a background thread while
+        the static stage trains.  The remote compile service runs
+        concurrently with device execution, and the persistent
+        JAX_COMPILATION_CACHE makes the stage-switch jit a cache hit —
+        otherwise the switch stalls the run for the full remote compile."""
+        import threading
+
+        def sds(x):
+            return jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
+
+        args = jax.tree_util.tree_map(
+            sds, (self.state, cams_g, gt_g, ts_g,
+                  self._sh_mask(self.active_sh_degree), self._flag(True)))
+        st = self._statics()
+
+        def work():
+            try:
+                t0 = time.time()
+                # unbound access: .lower on the bound jit does not bind self
+                Trainer._train_step.lower(self, *args, st=st,
+                                          stage="dynamatic").compile()
+                print(f"[precompile] dynamic step ready "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+            except Exception as e:  # never kill the run from here
+                print(f"[precompile] dynamic step failed: {e}", flush=True)
+
+        threading.Thread(target=work, daemon=True).start()
+
     def _flag(self, v: bool) -> jnp.ndarray:
         """Cached 0/1 device scalar (fresh host scalars every step would
         pay a tunnel transfer per iteration)."""
@@ -354,6 +383,13 @@ class Trainer:
                 self._sh_mask(self.active_sh_degree),
                 self._flag(scale_int),
                 st=self._statics(), stage=stage)
+
+            if (it == 1 and stage == "static"
+                    and cfg.static_iteration >= 100
+                    and total > cfg.static_iteration):
+                # first static step done (= static graph compiled); start
+                # compiling the dynamic graph in the background
+                self._precompile_dynamic(cams_g, gt_g, ts_g)
 
             if cfg.profile_dir and it == cfg.profile_iters[1]:
                 jax.block_until_ready(self.state.points.xyz)
