@@ -304,7 +304,8 @@ class Trainer:
             except Exception as e:  # never kill the run from here
                 print(f"[precompile] dynamic step failed: {e}", flush=True)
 
-        threading.Thread(target=work, daemon=True).start()
+        self._precompile_thread = threading.Thread(target=work, daemon=True)
+        self._precompile_thread.start()
 
     def _flag(self, v: bool) -> jnp.ndarray:
         """Cached 0/1 device scalar (fresh host scalars every step would
@@ -377,6 +378,18 @@ class Trainer:
             if stage == "dynamatic" and it % 50 == 0:
                 self.state = self._integral_refresh(self.state,
                                                     self._flag(use_int))
+            if (stage == "dynamatic"
+                    and getattr(self, "_precompile_thread", None)
+                    is not None):
+                # the stage-switch jit must WAIT for the background AOT
+                # compile: issuing its own would duplicate the giant
+                # compile (the two paths share only the persistent cache,
+                # written on completion)
+                if self._precompile_thread.is_alive():
+                    print("[precompile] waiting for the dynamic compile...",
+                          flush=True)
+                self._precompile_thread.join()
+                self._precompile_thread = None
             cams_g, gt_g, ts_g = self._globalize(batch)
             self.state, metrics = self._train_step(
                 self.state, cams_g, gt_g, ts_g,
@@ -443,6 +456,12 @@ class Trainer:
                       f"({rec['elapsed_s']:.0f}s)", flush=True)
                 if wandb is not None:
                     wandb.log(rec, step=it)
+                # incremental dump so a killed run still leaves the
+                # trajectory on disk (cli writes the final copy too)
+                if self.scene.model_path and len(self.history) % 10 == 0:
+                    with open(os.path.join(self.scene.model_path,
+                                           "history.json"), "w") as f:
+                        json.dump(self.history, f)
             if eval_fn is not None and it in set(cfg.testing_iterations):
                 eval_fn(self, it)
             if it in set(cfg.save_iterations):
