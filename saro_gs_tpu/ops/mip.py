@@ -126,9 +126,13 @@ def _sample_mip_impl(grid: jnp.ndarray, coords: jnp.ndarray,
 
 def _scatter_backend() -> str:
     env = os.environ.get("SARO_GRID_SCATTER", "")
-    if env in ("pallas", "xla"):
+    if env in ("pallas", "xla", "window"):
         return env
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    # "window": sorted-window one-hot-matmul accumulation in pure XLA —
+    # same algorithm as the Mosaic kernel without its compile risk (the
+    # kernel's Mosaic compile crashed/wedged the remote TPU compile
+    # service twice on 2026-08-19; opt back in with SARO_GRID_SCATTER=pallas)
+    return "window" if jax.default_backend() == "tpu" else "xla"
 
 
 def _tap_cells_weights(u, v, w_l, h_l, base):
