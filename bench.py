@@ -20,6 +20,7 @@ Adam) — the round-1 baseline was 1.58 steps/s.
 import json
 import math
 import os
+import subprocess
 import sys
 import time
 
@@ -227,7 +228,6 @@ def bench_train():
     params = params._replace(
         scaling=jnp.asarray(np.log(rng.uniform(0.003, 0.02, (n, 3))),
                             jnp.float32))
-    cam = _camera(width, height)
     rcfg = RasterConfig(tile_x=32, tile_y=32, chunk=128,
                         max_instances=576 * 1024 if on_tpu else 1 << 14,
                         backend="pallas" if on_tpu else "jax",
@@ -246,24 +246,35 @@ def bench_train():
         inv_integral=jnp.ones((n, 1)),
         inv_integral_densify=jnp.ones((n, 1)),
         step=jnp.zeros((), jnp.int32))
+    # 4 DISTINCT cameras around the scene + non-black GT: a broadcast
+    # single view and an all-zeros target flatter the backward (degenerate
+    # loss sparsity); noise GT keeps every pixel's gradient path live.
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from make_synth_scene import camera_from_c2w, ring_cameras
+    cam_list = [camera_from_c2w(c2w, 0.85, width, height, 0.0)
+                .raster_params() for c2w in ring_cameras(batch)]
     cams = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(jnp.asarray(x),
-                                   (batch,) + jnp.asarray(x).shape), cam)
-    gt = jnp.zeros((batch, 3, height, width))
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *cam_list)
+    gt = jnp.asarray(rng.uniform(0.0, 1.0, (batch, 3, height, width)),
+                     jnp.float32)
     ts = jnp.linspace(0.1, 0.9, batch).reshape(-1, 1, 1)
 
+    # cams traced (not closed over) so camera VALUES don't bake into the
+    # HLO as constants — the persistent compile cache then survives camera
+    # tweaks between rounds
     @jax.jit
-    def train_step(state, gt, ts):
+    def train_step(state, cams, gt, ts):
         return step_mod.train_step_core(
             state, cams, gt, ts, jnp.zeros(3), fstatic, st,
             stage="dynamatic", sh_degree=3, scale_integral=True)
 
-    state, metrics = train_step(state, gt, ts)
+    state, metrics = train_step(state, cams, gt, ts)
     jax.block_until_ready(state.points.xyz)
     reps = 20 if on_tpu else 3
     t0 = time.time()
     for _ in range(reps):
-        state, metrics = train_step(state, gt, ts)
+        state, metrics = train_step(state, cams, gt, ts)
     jax.block_until_ready(state.points.xyz)
     dt = (time.time() - t0) / reps
     return {
@@ -274,13 +285,53 @@ def bench_train():
     }
 
 
+def _run_train_bench_subprocess(budget_s):
+    """Run bench_train in a child process with a hard timeout.
+
+    The dynamic train-step compile has previously wedged/crashed the
+    remote TPU compile service (CLAUDE.md); isolating it means a hang
+    can never cost the already-printed render-FPS headline."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--train-only"],
+            timeout=budget_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        print(f"[bench][warn] train bench exceeded {budget_s:.0f}s budget; "
+              "skipped", file=sys.stderr)
+        return None
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+            if "train_steps_per_s" in rec.get("metric", ""):
+                return rec
+        except (json.JSONDecodeError, AttributeError):
+            continue
+    print(f"[bench][warn] train bench rc={out.returncode}; stderr tail: "
+          f"{out.stderr[-500:]}", file=sys.stderr)
+    return None
+
+
 if __name__ == "__main__":
+    if "--train-only" in sys.argv:
+        print(json.dumps(bench_train()), flush=True)
+        os._exit(0)
+    # Headline FIRST, printed+flushed the instant it exists: round 2
+    # computed both benches before printing anything and a driver timeout
+    # (rc=124) shipped ZERO numbers.  The LAST printed line is always the
+    # render-FPS record (the driver parses the last JSON line).
+    deadline = float(os.environ.get("SARO_BENCH_DEADLINE", "2700"))
+    t_start = time.time()
     fps_rec = bench_fps()
-    train_rec = bench_train()
-    # train metric first; the headline render-FPS line LAST (a last-line
-    # parser sees the metric comparable with round 1), cross-embedding the
-    # train number so either line alone carries both results
-    fps_rec["train_steps_per_s"] = train_rec["value"]
-    print(json.dumps(train_rec), flush=True)
+    fps_rec["vs_baseline"] = round(fps_rec["value"] / 63.02, 2)  # round-1
+    print(json.dumps(fps_rec), flush=True)
+    train_rec = None
+    budget = deadline - (time.time() - t_start)
+    if os.environ.get("SARO_BENCH_SKIP_TRAIN", "0") != "1" and budget > 120:
+        train_rec = _run_train_bench_subprocess(budget)
+    if train_rec:
+        fps_rec["train_steps_per_s"] = train_rec["value"]
+        train_rec["render_fps"] = fps_rec["value"]
+        print(json.dumps(train_rec), flush=True)
+    # final line = headline, cross-embedding the train number when it ran
     print(json.dumps(fps_rec), flush=True)
     os._exit(0)  # skip the axon plugin's slow exit teardown
