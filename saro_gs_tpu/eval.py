@@ -140,18 +140,34 @@ class Evaluator:
                              np.asarray(jnp.clip(seg.color, 0, 1)))
 
         # --- FPS protocol (test.py:150-163) --------------------------------
+        # 4 passes over the views, first 10 frames/pass discarded as
+        # warm-up — same shape as the reference.  Sync is amortized over
+        # each pass (rolling window of live outputs) instead of per-frame:
+        # through the remote PJRT tunnel a per-frame block_until_ready
+        # pays a network RTT per frame and under-reports the device rate;
+        # cuda.synchronize in the reference is ~free by comparison.
         fps = None
         if measure_fps and len(cameras) > 10:
+            warmup = 10
             durations = []
             for _ in range(4):
+                outs = []
                 for i, cam in enumerate(cameras):
-                    t0 = time.time()
+                    if i == warmup:
+                        jax.block_until_ready(outs)
+                        outs = []
+                        t0 = time.time()
                     out, _ = render(cam.raster_params(),
                                     jnp.float32(cam.timestamp), points, nets,
                                     alive, feat)
-                    out.color.block_until_ready()
-                    if i >= 10:
-                        durations.append(time.time() - t0)
+                    outs.append(out.color)
+                    # bound live HBM: syncing on a frame ~16 enqueues old
+                    # is free (it finished long ago)
+                    if len(outs) > 16:
+                        jax.block_until_ready(outs.pop(0))
+                jax.block_until_ready(outs)
+                durations.append(
+                    (time.time() - t0) / (len(cameras) - warmup))
             fps = 1.0 / float(np.mean(durations))
 
         results = {

@@ -203,9 +203,13 @@ def test_train_loop_converges(scene_dir, tmp_path):
     # same render from restored state
     from saro_gs_tpu.eval import Evaluator
     ev = Evaluator(cfg2, sc2)
-    res = ev.render_set("test", sc2.test_cameras(), sc2.params, sc2.nets,
-                        sc2.alive, iteration="final", measure_fps=False)
+    # >10 cameras engages the 4-pass amortized-sync FPS protocol
+    # (test.py:150-163 shape, pass-level rolling-window sync)
+    cams12 = sc2.test_cameras() * 6
+    res = ev.render_set("test", cams12, sc2.params, sc2.nets,
+                        sc2.alive, iteration="final", measure_fps=True)
     assert res["PSNR"] > 14.0, res
+    assert res["FPS"] is not None and res["FPS"] > 0, res
 
 
 def test_nan_guard_skips_bad_step(rng, tmp_path):

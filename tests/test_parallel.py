@@ -237,3 +237,130 @@ def test_runtime_helpers():
     batch = {"x": np.ones((8, 3))}
     out = runtime.make_global_batch(runtime.global_mesh(n_data=8), batch)
     assert out["x"].shape == (8, 3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_two_process_train_matches_single(tmp_path):
+    """TRUE multi-host: two subprocesses, each 4 virtual CPU devices,
+    joined by a real jax.distributed TCP coordinator, train 3 dp steps of
+    the toy scene — updates must match a single-process run on the same
+    8-device mesh (VERDICT r2 task 6: covers coordinator init, gloo
+    collectives across the process boundary, and cross-process global
+    batch assembly that the faked-index tests bypass)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from tests.test_e2e_train import _write_scene, DURATION
+    from saro_gs_tpu.config import load_config
+    from saro_gs_tpu import scene as scene_mod
+    from saro_gs_tpu.data import readers
+    from saro_gs_tpu.data.dataset import CameraBatch, stack_camera_params
+    from saro_gs_tpu.models.gaussians import PointCloud
+    from saro_gs_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "scene")
+    _write_scene(root, np.random.RandomState(7))
+
+    # free TCP port for the coordinator; skip loudly if sockets are banned
+    try:
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+        s.close()
+    except OSError as e:
+        pytest.skip(f"environment forbids local sockets: {e}")
+
+    env = dict(os.environ)
+    env.update({
+        # disable the axon sitecustomize (it imports jax at interpreter
+        # start, freezing the backend before the worker can configure it)
+        "PALLAS_AXON_POOL_IPS": "",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "JAX_COMPILATION_CACHE_DIR": "",
+        "PYTHONPATH": os.path.dirname(os.path.dirname(__file__)),
+    })
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    outs = [str(tmp_path / f"w{i}.npz") for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, worker, root, outs[i], str(i), "2", str(port)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, cwd=os.path.dirname(os.path.dirname(__file__)))
+        for i in range(2)]
+    logs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            logs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+
+    # single-process reference on the same 8-device mesh, same batch set
+    orig = readers.read_blender_scene
+
+    def small_reader(*a, **k):
+        info = orig(*a, **k)
+        pc = info.point_cloud
+        sel = np.random.RandomState(0).choice(pc.points.shape[0], 200,
+                                              replace=False)
+        return info._replace(point_cloud=PointCloud(
+            points=pc.points[sel], colors=pc.colors[sel],
+            times=pc.times[sel]))
+
+    readers.SCENE_READERS["blender"] = small_reader
+    try:
+        cfg = load_config(
+            source_path=root, model_path=str(tmp_path / "ref"),
+            loader="blender", duration=DURATION, resolution=1,
+            batch=8, iterations=10, static_iteration=-1, densify=0,
+            preprocesspoints=0, capacity=512, raster_backend="jax",
+            max_instances=8192, max_slots=256,
+            kplanes_config={"grid_dimensions": 2,
+                            "input_coordinate_dim": 4,
+                            "output_coordinate_dim": 8,
+                            "resolution": [16, 16, 16, 8]},
+            multires=[1], sh_degree=1, dsh=True, min_intergral=1e-4,
+            min_interval=0.5, mesh_data=8)
+        sc = scene_mod.Scene(cfg)
+    finally:
+        readers.SCENE_READERS["blender"] = orig
+    tr = Trainer(cfg, sc)
+    cams8 = list(sc.info.train_cameras[:8])
+    # same global composition the workers assemble: host-shard order
+    ordered = cams8[0::2] + cams8[1::2]
+    batch = CameraBatch(
+        cams=stack_camera_params(ordered),
+        gt=np.stack([c.load_image(cfg.white_background)
+                     for c in ordered]),
+        timestamps=np.asarray([c.timestamp for c in ordered],
+                              np.float32).reshape(-1, 1, 1),
+        indices=np.arange(8))
+    args = (jax.tree_util.tree_map(jnp.asarray, batch.cams),
+            jnp.asarray(batch.gt), jnp.asarray(batch.timestamps))
+    for _ in range(3):
+        tr.state, metrics = tr._train_step(
+            tr.state, *args, tr._sh_mask(1), tr._flag(True),
+            st=tr._statics(), stage="dynamatic")
+
+    w0 = np.load(outs[0])
+    w1 = np.load(outs[1])
+    # both processes hold identical replicated state...
+    np.testing.assert_allclose(w0["xyz"], w1["xyz"], atol=1e-6)
+    np.testing.assert_allclose(w0["grid0"], w1["grid0"], atol=1e-6)
+    # ...that matches the single-process run (fp reassociation tolerance)
+    np.testing.assert_allclose(float(w0["loss"]), float(metrics["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(w0["xyz"], np.asarray(tr.state.points.xyz),
+                               atol=2e-5)
+    np.testing.assert_allclose(w0["opacity"],
+                               np.asarray(tr.state.points.opacity),
+                               atol=2e-5)
+    np.testing.assert_allclose(w0["grid0"],
+                               np.asarray(tr.state.nets.grids[0][0]),
+                               atol=2e-5)
