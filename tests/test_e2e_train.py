@@ -183,6 +183,31 @@ def test_train_loop_converges(scene_dir, tmp_path):
     psnr = quick_test_psnr(tr, sc.test_cameras())
     assert psnr > 14.0, psnr
 
+    # golden-trajectory gate: convergence SPEED, not just non-breakage —
+    # loss/PSNR at fixed iterations vs a committed reference run (VERDICT
+    # r2 task 8; regenerate with SARO_UPDATE_GOLDEN=1 after an
+    # intentional optimizer/loss change).
+    golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                               "toy_trajectory.json")
+    traj = {str(h["it"]): {"loss": float(h["loss"]),
+                           "psnr": float(h["psnr"])} for h in hist}
+    traj["test_psnr"] = psnr
+    if os.environ.get("SARO_UPDATE_GOLDEN") == "1":
+        os.makedirs(os.path.dirname(golden_path), exist_ok=True)
+        with open(golden_path, "w") as f:
+            json.dump(traj, f, indent=1)
+    else:
+        with open(golden_path) as f:
+            golden = json.load(f)
+        for it, g in golden.items():
+            if it == "test_psnr":
+                assert psnr > g - 1.5, (psnr, g)
+                continue
+            assert it in traj, f"missing history record at iter {it}"
+            # a regression that halves convergence speed must fail
+            assert traj[it]["loss"] < g["loss"] * 1.3, (it, traj[it], g)
+            assert traj[it]["psnr"] > g["psnr"] - 1.5, (it, traj[it], g)
+
     # checkpoint roundtrip
     path = sc.save("final", tr.state.points, tr.state.nets, tr.state.alive)
     assert os.path.exists(path)
