@@ -43,6 +43,11 @@ def train_main(argv=None):
     p.add_argument("--start_checkpoint", default=None,
                    help="warm-start from a point_cloud.ply (+ sibling .npz) "
                         "checkpoint (reference --checkpoint, train.py:70-71)")
+    p.add_argument("--start_iteration", type=int, default=None,
+                   help="resume LR/densify/stage schedules at this "
+                        "iteration (with --start_checkpoint; without it the "
+                        "reference-style warm start re-runs schedules "
+                        "from 0)")
     args = p.parse_args(argv)
 
     overrides = {"source_path": args.source_path,
@@ -76,6 +81,22 @@ def train_main(argv=None):
         print(f"warm-start from {args.start_checkpoint}: "
               f"{int(np.asarray(scene.alive).sum())} points")
     trainer = Trainer(cfg, scene)
+    if args.start_iteration:
+        trainer.state = trainer.state._replace(
+            step=jnp.asarray(args.start_iteration, jnp.int32))
+        # don't let a worse post-resume eval overwrite iteration_best:
+        # seed best_psnr from any prior eval records in the model dir
+        import glob as _glob
+        for pth in _glob.glob(os.path.join(cfg.model_path,
+                                           "*_runtimeresults.json")):
+            try:
+                with open(pth) as f:
+                    prev = json.load(f).get("PSNR") or 0.0
+                trainer.best_psnr = max(trainer.best_psnr, prev)
+            except (OSError, ValueError):
+                pass
+        print(f"resuming schedules at iteration {args.start_iteration} "
+              f"(best PSNR so far {trainer.best_psnr:.2f})")
     # initial z-floater prune for COLMAP scenes (train.py:128-134)
     if cfg.densify in (1, 2, 4):
         zmask = trainer.state.points.xyz[:, 2] < 4.5
