@@ -141,8 +141,9 @@ def bench_fps():
             return out.color, out.num_instances, out.num_dropped
         return render
 
+    tile = int(os.environ.get("SARO_BENCH_TILE", "32"))
     rcfg = RasterConfig(
-        tile_x=32, tile_y=32,
+        tile_x=tile, tile_y=tile,
         chunk=int(os.environ.get("SARO_BENCH_CHUNK", "128")),
         max_instances=576 * 1024,
         backend="pallas" if on_tpu else "jax", max_slots=512,
@@ -158,7 +159,7 @@ def bench_fps():
     for pts in (0.01, 0.5, 0.99):
         _, inst, dropped = render(jnp.float32(pts), feat)
         need = max(need, int(inst) + int(dropped))
-    cap = max(-(-int(need * 1.3) // 65536) * 65536, 65536)
+    cap = max(-(-int(need * 1.15) // 65536) * 65536, 65536)
     if cap != rcfg.max_instances:
         rcfg = rcfg._replace(max_instances=cap)
         render = make_render(rcfg)

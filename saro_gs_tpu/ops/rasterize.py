@@ -63,6 +63,10 @@ class RasterConfig(NamedTuple):
     # ``row0`` passed to ``rasterize``; outputs are [strip_rows*tile_y]
     # tall, pixel coordinates and NDC gradient scaling stay full-frame
     strip_rows: int = 0
+    # False skips n_contrib (the backward replay bound) in the pallas
+    # forward — eval-only renders save its rank/max bookkeeping; taking
+    # gradients with need_aux=False raises at trace time
+    need_aux: bool = True
 
 
 class RenderOutput(NamedTuple):
@@ -119,7 +123,7 @@ def _forward(statics, means3d, scales, quats, opacities, shs, colors_precomp,
         fwd = tile_kernels.forward_tiles_pallas(
             bins, bg, width, height, cfg.tile_x, cfg.tile_y, cfg.chunk,
             prefix=cfg.prefix, grid_y_local=cfg.strip_rows,
-            y0_tiles=row0i)
+            y0_tiles=row0i, need_aux=cfg.need_aux)
     else:
         bins = binning.bin_gaussians(pre, grid_x, grid_y, cfg.max_instances,
                                      cfg.chunk)
@@ -182,6 +186,10 @@ def _rasterize_bwd(statics, res, cot):
              else row0.astype(jnp.int32))
 
     if cfg.backend == "pallas":
+        if not cfg.need_aux:
+            raise ValueError(
+                "RasterConfig(need_aux=False) renders are forward-only: "
+                "the backward replay needs n_contrib")
         from . import tile_kernels
         g16 = tile_kernels.backward_tiles_pallas(
             bins, bg, fwd.color, fwd.final_t, d_color,

@@ -221,9 +221,16 @@ def expand_rows_pallas(rows: jnp.ndarray, g0s: jnp.ndarray, mi_pad: int,
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
-                color_ref, depth_ref, t_ref, nc_ref,
-                attr_vmem, sem,
-                *, k, p, grid_x, tile_x, tile_y, prefix="roll"):
+                *out_and_scratch,
+                k, p, grid_x, tile_x, tile_y, prefix="roll",
+                need_aux=True):
+    if need_aux:
+        (color_ref, depth_ref, t_ref, nc_ref,
+         attr_vmem, sem) = out_and_scratch
+    else:
+        # eval-only: n_contrib (backward replay bound) is never consumed
+        color_ref, depth_ref, t_ref, attr_vmem, sem = out_and_scratch
+        nc_ref = None
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -233,7 +240,9 @@ def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
     lead = start - astart
     nchunks = pl.cdiv(lead + count, k)
     pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p, y0_ref[0])
-    rows = _row_iota(k, p)
+    # per-ROW quantities stay [K,1] (rank masks broadcast along lanes —
+    # full [K,P] int passes here measurably cost VPU time)
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
 
     def copy_chunk(c, slot):
         off = pl.multiple_of(astart + c * k, k)
@@ -264,12 +273,12 @@ def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
         _, _, _, _, a_eff, _ = _chunk_alpha(attr, pxf, pyf, k, p)
         # 1-based rank of each row within THIS tile's [start, count) range;
         # boundary rows outside it self-mask
-        rank1 = (astart - start) + c * k + rows + 1                  # [K,P]
+        rank1 = (astart - start) + c * k + rows1 + 1                 # [K,1]
         a_eff = jnp.where((rank1 >= 1) & (rank1 <= count), a_eff, 0.0)
         # prefix transmittance within chunk (carry folded in)
         tt = _prefix_mul(1.0 - a_eff, k, prefix) * T_in              # [K,P]
         tprev = pltpu.roll(tt, shift=1, axis=0)
-        tprev = jnp.where(rows < 1, T_in, tprev)
+        tprev = jnp.where(rows1 < 1, T_in, tprev)
         live = tt >= T_EPS
         contrib = (a_eff > 0.0) & live
         w = jnp.where(contrib, a_eff * tprev, 0.0)
@@ -277,23 +286,27 @@ def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
         C_out = C_in + jax.lax.dot_general(
             rgbk, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        crossing = contrib & (tprev > 0.5) & (tt < 0.5)
+        # median depth: T crosses 0.5 at most once (monotone), and only at
+        # a contributing row (tt < tprev), so a plain accumulator captures
+        # the crossing depth; the 15.0 default is applied after the loop
+        # from T_final >= 0.5 (forward.cu:307-308,363-372)
+        crossing = (tprev > 0.5) & (tt < 0.5)
         depth_k = attr[9, :].reshape(k, 1)
-        D_out = jnp.where(
-            jnp.any(crossing, axis=0, keepdims=True),
-            jnp.sum(jnp.where(crossing, depth_k, 0.0), axis=0,
-                    keepdims=True), D_in)
-        nc_slot = rank1
-        NC_out = jnp.maximum(
-            NC_in, jnp.max(jnp.where(contrib, nc_slot, 0), axis=0,
-                           keepdims=True))
+        D_out = D_in + jnp.sum(jnp.where(crossing, depth_k, 0.0), axis=0,
+                               keepdims=True)
+        if need_aux:
+            NC_out = jnp.maximum(
+                NC_in, jnp.max(jnp.where(contrib, rank1, 0), axis=0,
+                               keepdims=True))
+        else:
+            NC_out = NC_in
         T_out = jnp.minimum(
             T_in, jnp.min(jnp.where(live, tt, 2.0), axis=0, keepdims=True))
         return c + 1, T_out, C_out, D_out, NC_out
 
     T0 = jnp.ones((1, p), jnp.float32)
     C0 = jnp.zeros((3, p), jnp.float32)
-    D0 = jnp.full((1, p), DEPTH_DEFAULT, jnp.float32)
+    D0 = jnp.zeros((1, p), jnp.float32)
     NC0 = jnp.zeros((1, p), jnp.int32)
     c_fin, T, C, D, NC = jax.lax.while_loop(
         cond, body, (jnp.int32(0), T0, C0, D0, NC0))
@@ -304,9 +317,10 @@ def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
         copy_chunk(c_fin, jax.lax.rem(c_fin, 2)).wait()
 
     color_ref[0] = C
-    depth_ref[0] = D
+    depth_ref[0] = jnp.where(T < 0.5, D, DEPTH_DEFAULT)
     t_ref[0] = T
-    nc_ref[0] = NC
+    if need_aux:
+        nc_ref[0] = NC
 
 
 def _assemble(x, grid_y, grid_x, tile_y, tile_x, height, width, ch=None):
@@ -323,7 +337,7 @@ def _assemble(x, grid_y, grid_x, tile_y, tile_x, height, width, ch=None):
 
 def forward_tiles_pallas(bins, bg, width, height, tile_x, tile_y, chunk,
                          prefix="roll", grid_y_local: int = 0,
-                         y0_tiles=None):
+                         y0_tiles=None, need_aux: bool = True):
     """bins: binning.StagedBins (gather-free staged instance table).
 
     ``grid_y_local``/``y0_tiles``: strip mode — bins cover only
@@ -341,31 +355,32 @@ def forward_tiles_pallas(bins, bg, width, height, tile_x, tile_y, chunk,
           else jnp.asarray(y0_tiles, jnp.int32).reshape(1))
 
     kern = functools.partial(_fwd_kernel, k=k, p=p, grid_x=grid_x,
-                             tile_x=tile_x, tile_y=tile_y, prefix=prefix)
+                             tile_x=tile_x, tile_y=tile_y, prefix=prefix,
+                             need_aux=need_aux)
+    n_outs = 4 if need_aux else 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nt,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0)),
-        ],
+        ] + [pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0))
+             ] * (n_outs - 1),
         scratch_shapes=[pltpu.VMEM((2, _ROWS, k), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
     )
-    color, dep, t_fin, nc = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nt, 3, p), jnp.float32),
             jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
             jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((nt, 1, p), jnp.int32),
-        ],
+        ] + ([jax.ShapeDtypeStruct((nt, 1, p), jnp.int32)]
+             if need_aux else []),
         interpret=_interpret(),
     )(bins.tile_start, bins.tile_count, y0, bins.attr)
+    color, dep, t_fin = outs[:3]
 
     color_img = _assemble(color, grid_y, grid_x, tile_y, tile_x, out_h,
                           width, ch=3)
@@ -377,8 +392,9 @@ def forward_tiles_pallas(bins, bg, width, height, tile_x, tile_y, chunk,
         depth=_assemble(dep[:, 0], grid_y, grid_x, tile_y, tile_x, out_h,
                         width),
         final_t=t_img,
-        n_contrib=_assemble(nc[:, 0], grid_y, grid_x, tile_y, tile_x, out_h,
-                            width))
+        n_contrib=(_assemble(outs[3][:, 0], grid_y, grid_x, tile_y, tile_x,
+                             out_h, width) if need_aux
+                   else jnp.zeros((out_h, width), jnp.int32)))
 
 
 # ---------------------------------------------------------------------------

@@ -75,6 +75,9 @@ def test_render(cam: CameraParams, timestamp,
     """
     d = gm.deform(params, nets, mcfg, fstatic, timestamp, feat=feat)
     active = alive * (d.state[:, 0] > EVAL_STATE_CUTOFF)
+    # eval renders are forward-only: skip the n_contrib bookkeeping in the
+    # pallas compositor (backward replay bound; need_aux=False)
+    rcfg = rcfg._replace(need_aux=False)
     out = rasterize(d.xyz, d.scaling, d.rotation, d.opacity.reshape(-1),
                     cam, bg, width=width, height=height,
                     sh_degree=sh_degree, config=rcfg, shs=d.shs,

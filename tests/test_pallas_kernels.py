@@ -203,3 +203,32 @@ def test_pallas_expander_grads_match(rng):
                   argnums=tuple(range(5)))(*args)
     for x, y in zip(ga, gb):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_need_aux_false_forward_only(rng):
+    """need_aux=False skips n_contrib bookkeeping: color/depth/final_t
+    identical to the default config; gradients raise at trace time."""
+    import pytest
+    cam, meta = make_camera()
+    means, scales, quats, opac, shs = make_gaussians(rng, n=40)
+    bg = np.array([0.1, 0.2, 0.3], np.float32)
+    a = _render(CFG_PALLAS, cam, meta, means, scales, quats, opac, shs, bg)
+    cfg = CFG_PALLAS._replace(need_aux=False)
+    b = _render(cfg, cam, meta, means, scales, quats, opac, shs, bg)
+    np.testing.assert_array_equal(np.asarray(b.color), np.asarray(a.color))
+    np.testing.assert_array_equal(np.asarray(b.depth), np.asarray(a.depth))
+    np.testing.assert_array_equal(np.asarray(b.final_t),
+                                  np.asarray(a.final_t))
+    assert int(np.asarray(b.n_contrib).max()) == 0
+
+    w, h = meta["width"], meta["height"]
+
+    def loss(m):
+        out = rasterize(m, jnp.asarray(scales), jnp.asarray(quats),
+                        jnp.asarray(opac), cam, jnp.asarray(bg), width=w,
+                        height=h, sh_degree=3, config=cfg,
+                        shs=jnp.asarray(shs))
+        return jnp.sum(out.color)
+
+    with pytest.raises(ValueError, match="forward-only"):
+        jax.grad(loss)(jnp.asarray(means))
