@@ -240,9 +240,9 @@ def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
     lead = start - astart
     nchunks = pl.cdiv(lead + count, k)
     pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p, y0_ref[0])
-    # per-ROW quantities stay [K,1] (rank masks broadcast along lanes —
-    # full [K,P] int passes here measurably cost VPU time)
-    rows1 = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    import os as _os
+    _rank_cols = 1 if _os.environ.get("SARO_FWD_RANK", "k1") == "k1" else p
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (k, _rank_cols), 0)
 
     def copy_chunk(c, slot):
         off = pl.multiple_of(astart + c * k, k)
