@@ -240,9 +240,9 @@ def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
     lead = start - astart
     nchunks = pl.cdiv(lead + count, k)
     pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p, y0_ref[0])
-    import os as _os
-    _rank_cols = 1 if _os.environ.get("SARO_FWD_RANK", "k1") == "k1" else p
-    rows1 = jax.lax.broadcasted_iota(jnp.int32, (k, _rank_cols), 0)
+    # measured on-chip: materialized [K,P] rank rows edge out [K,1]
+    # broadcasts by ~1% (Mosaic relayouts eat the saved int passes)
+    rows1 = _row_iota(k, p)
 
     def copy_chunk(c, slot):
         off = pl.multiple_of(astart + c * k, k)

@@ -74,7 +74,7 @@ def main():
     probe = make_render(rcfg)
     _, inst, dropped = probe(jnp.float32(0.5), feat)
     need = int(inst) + int(dropped)
-    cap = max(-(-int(need * 1.3) // 65536) * 65536, 65536)
+    cap = max(-(-int(need * 1.15) // 65536) * 65536, 65536)
     if cap != rcfg.max_instances:
         rcfg = rcfg._replace(max_instances=cap)
     print(f"instances {need} -> cap {cap}", flush=True)
