@@ -128,10 +128,11 @@ def _scatter_backend() -> str:
     env = os.environ.get("SARO_GRID_SCATTER", "")
     if env in ("pallas", "xla", "window"):
         return env
-    # "window": sorted-window one-hot-matmul accumulation in pure XLA —
-    # same algorithm as the Mosaic kernel without its compile risk (the
-    # kernel's Mosaic compile crashed/wedged the remote TPU compile
-    # service twice on 2026-08-19; opt back in with SARO_GRID_SCATTER=pallas)
+    # Default "window" is an ALIAS of "xla" (kept for config compat): the
+    # .at[].add scatter transpose.  "pallas" is the sorted-window MXU
+    # kernel (ops/grid_scatter.py) — opt-in because its Mosaic compile
+    # crashed/wedged the remote TPU compile service twice on 2026-08-19;
+    # scripts/grid_scatter_bench.py quantifies both on the real chip.
     return "window" if jax.default_backend() == "tpu" else "xla"
 
 
