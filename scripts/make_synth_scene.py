@@ -207,7 +207,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     rcfg = RasterConfig(tile_x=32, tile_y=32, chunk=128,
-                        max_instances=1 << 18,
+                        max_instances=1 << 20,
                         backend="pallas" if on_tpu else "jax",
                         max_slots=2048, tight_rect=True,
                         prefix="roll", packed=False, expander="pallas")

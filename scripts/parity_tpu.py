@@ -42,10 +42,13 @@ def main():
     args = tuple(map(jnp.asarray, (means, scales, quats, opac, shs)))
     d_color = jnp.asarray(rng.normal(0, 1, (3, h, w)).astype(np.float32))
 
-    base = dict(tile_x=32, tile_y=32, chunk=chunk, max_instances=1 << 17,
+    # capacities sized to the scene with NO truncation (the r3 harness bug:
+    # at 1<<17 the 16x16 oracle dropped 76% of its 541k instances and every
+    # combo "failed" against a truncated oracle); run() asserts no drops
+    base = dict(tile_x=32, tile_y=32, chunk=chunk, max_instances=1 << 18,
                 max_slots=1024)
     oracle_cfg = RasterConfig(tile_x=16, tile_y=16, chunk=64,
-                              max_instances=1 << 17, max_slots=1024,
+                              max_instances=1 << 20, max_slots=2048,
                               backend="jax", tight_rect=False)
 
     def run(cfg, row0=None):
@@ -63,6 +66,9 @@ def main():
         fwd = jax.jit(lambda *a: rasterize(
             *a[:4], cam, bg, width=w, height=h, sh_degree=3, config=cfg,
             shs=a[4], row0=row0))(*args)
+        assert int(fwd.num_dropped) == 0, (
+            f"instance capacity too small: {int(fwd.num_dropped)} dropped "
+            f"at max_instances={cfg.max_instances}")
         grads = jax.jit(jax.grad(loss, argnums=tuple(range(5))))(*args)
         return fwd, grads
 
