@@ -283,9 +283,12 @@ def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
         contrib = (a_eff > 0.0) & live
         w = jnp.where(contrib, a_eff * tprev, 0.0)
         rgbk = attr[6:9, :]                                          # [3,K]
+        # HIGHEST: Mosaic DEFAULT quantizes dot inputs to bf16 (~2^-9 rel
+        # error on accumulated color); this dot is tiny so exactness is free
         C_out = C_in + jax.lax.dot_general(
             rgbk, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         # median depth: T crosses 0.5 at most once (monotone), and only at
         # a contributing row (tt < tprev), so a plain accumulator captures
         # the crossing depth; the 15.0 default is applied after the loop
@@ -493,10 +496,11 @@ def _bwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm, dpix_ref, cfg_ref,
         d_cb = jnp.sum(d_g * (-gdx * dy), axis=1)
         d_cc = jnp.sum(d_g * (-0.5 * gdy * dy), axis=1)
         d_op = jnp.sum(g * d_alpha, axis=1)
-        # d_rgb: [K, P] @ [P, 3] on the MXU
+        # d_rgb: [K, P] @ [P, 3] on the MXU (HIGHEST: see forward color dot)
         d_rgb = jax.lax.dot_general(
             w, dpix, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [K, 3]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # [K, 3]
 
         # boundary rows belong to neighbouring tiles: the first chunk merges
         # the predecessor's rows back in (gprev; zeros when start aligned),

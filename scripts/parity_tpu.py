@@ -96,12 +96,18 @@ def main():
                                  (np.abs(r).max() + 1e-8))
         depth_match = float(np.isclose(np.asarray(fwd.depth),
                                        np.asarray(ref_fwd.depth)).mean())
-        # gates: packed quantizes six attrs to bf16 (visually lossless,
-        # >45 dB); unpacked must match to fp-reassociation noise
+        # gates by precision mode: packed quantizes six attrs to bf16
+        # (visually lossless, >45 dB); compiled matmul-prefix quantizes
+        # the log-transmittance matmul inputs to bf16 (Mosaic DEFAULT,
+        # ~1e-3 T error by design — roll mode is the exact path); unpacked
+        # roll must match to exp/fp-reassociation noise
         if packed:
             ok = c_psnr > 45.0 and all(v < 0.05 for v in g_errs.values())
+        elif prefix == "matmul" and on_tpu:
+            ok = c_psnr > 55.0 and all(v < 0.02 for v in g_errs.values()) \
+                and depth_match > 0.995
         else:
-            ok = c_err < 1e-3 and all(v < 2e-3 for v in g_errs.values()) \
+            ok = c_err < 1e-3 and all(v < 5e-3 for v in g_errs.values()) \
                 and depth_match > 0.995
         combo = {"prefix": prefix, "packed": packed, "expander": expander,
                  "tight_rect": tight, "color_maxerr": c_err,
