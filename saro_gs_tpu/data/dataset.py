@@ -20,7 +20,8 @@ from .cameras import Camera
 
 class CameraBatch(NamedTuple):
     cams: CameraParams        # leaves stacked [B, ...]
-    gt: np.ndarray            # [B, 3, H, W]
+    gt: np.ndarray            # [B, 3, H, W] uint8 (u8 transport: the step
+    #                           decodes /255 on-device; float also accepted)
     timestamps: np.ndarray    # [B, 1, 1]
     indices: np.ndarray       # [B]
 
@@ -54,9 +55,12 @@ class BatchLoader:
         # worker can exhaust the pool and deadlock)
         cams = [self.cameras[i] for i in idxs]
         imgs = self._decode(cams)
+        gt = np.stack(imgs)
+        if gt.dtype != np.uint8:   # u8 transport (see CameraBatch.gt)
+            gt = np.clip(gt * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
         return CameraBatch(
             cams=stack_camera_params(cams),
-            gt=np.stack(imgs),
+            gt=gt,
             timestamps=np.asarray([c.timestamp for c in cams],
                                   np.float32).reshape(-1, 1, 1),
             indices=np.asarray(idxs))

@@ -174,6 +174,12 @@ def train_step_core(state, cams, gt, timestamps, bg, fstatic,
     to average gradients / merge stats across the data axis, and/or
     ``axis_tile`` to shard each render over tile rows (per-Gaussian
     cotangents are partial sums over the device's pixels -> psum)."""
+    if gt.dtype == jnp.uint8:
+        # GT uploads dominate host->device traffic and the axon PJRT
+        # client leaks its transfer staging (66 MB/step at batch-4
+        # 1352x1014 f32 — host-OOM'd the r3 stress run at iter ~1850);
+        # uint8 transport cuts the volume 4x, decoded on-device here
+        gt = gt.astype(jnp.float32) * (1.0 / 255.0)
     cap = state.alive.shape[0]
     batch = gt.shape[0]
     m2d0 = jnp.zeros((batch, cap, 2), jnp.float32)
