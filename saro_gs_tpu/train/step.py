@@ -253,12 +253,22 @@ def train_step_core(state, cams, gt, timestamps, bg, fstatic,
     # non-finite guard: one bad frame (the reference ASSERTS on NaN
     # t-center grads, saro_gaussian.py:278-279) must not poison the whole
     # run — skip the parameter/stat update, keep the step counter.
+    # bad_src is a bitmask attributing WHICH gradient group went
+    # non-finite (decode with bad_src_names); the r3 stress run skipped
+    # 31-47/50 steps with no way to tell temporal_pos from hexplane.
     finite = jnp.isfinite(loss)
-    # g_m2d feeds the densify-stat accumulator (aux) which persists across
-    # steps — a NaN there would poison every later densify decision, so it
-    # must gate the update like the parameter grads do
-    for leaf in jax.tree_util.tree_leaves((g_points, g_nets, g_m2d)):
-        finite = finite & jnp.isfinite(jnp.sum(leaf))
+    bad_src = jnp.where(finite, 0, 1).astype(jnp.int32)   # bit 0 = loss
+    groups = list(zip(gm.GaussianParams._fields, g_points))
+    groups += [("nets", g_nets), ("mean2d", g_m2d)]
+    for bit, (_, leaves) in enumerate(groups, start=1):
+        gf = jnp.bool_(True)
+        # g_m2d feeds the densify-stat accumulator (aux) which persists
+        # across steps — a NaN there would poison every later densify
+        # decision, so it must gate the update like the parameter grads
+        for leaf in jax.tree_util.tree_leaves(leaves):
+            gf = gf & jnp.isfinite(jnp.sum(leaf))
+        finite = finite & gf
+        bad_src = bad_src | jnp.where(gf, 0, 1 << bit).astype(jnp.int32)
     skipped = state._replace(step=state.step + 1)
     new_state = jax.tree_util.tree_map(
         lambda new, old: jnp.where(finite, new, old), new_state, skipped)
@@ -272,5 +282,12 @@ def train_step_core(state, cams, gt, timestamps, bg, fstatic,
 
     metrics = {"loss": loss, "Ll1": ll1, "dropped": dropped,
                "bad_step": (~finite).astype(jnp.int32),
+               "bad_src": bad_src,
                "psnr": losses.psnr(jnp.clip(last_img, 0, 1), gt[-1])}
     return new_state, metrics
+
+
+def bad_src_names(mask: int):
+    """Decode metrics['bad_src'] into the non-finite gradient groups."""
+    names = ["loss"] + list(gm.GaussianParams._fields) + ["nets", "mean2d"]
+    return [n for i, n in enumerate(names) if mask & (1 << i)]

@@ -447,8 +447,17 @@ class Trainer:
                 if bad_total > self._bad_seen:
                     rec["bad_step"] = bad_total - self._bad_seen
                     rec["bad_steps_total"] = bad_total
+                    # attribute THIS step's non-finite grad groups (the r3
+                    # stress run skipped 31-47/50 steps with no way to tell
+                    # temporal_pos from hexplane); only populated when the
+                    # logged step itself was bad
+                    src = int(jax.device_get(metrics.get("bad_src", 0)))
+                    if src:
+                        rec["bad_src"] = step.bad_src_names(src)
                     print(f"[warn] {bad_total - self._bad_seen} non-finite "
-                          f"step(s) skipped since it {it - log_every}")
+                          f"step(s) skipped since it {it - log_every}"
+                          + (f" (this step: {rec.get('bad_src')})"
+                             if src else ""))
                     self._bad_seen = bad_total
                 self.history.append(rec)
                 print(f"[{it}/{total}] loss={rec['loss']:.5f} "

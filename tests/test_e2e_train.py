@@ -294,6 +294,11 @@ def test_nan_guard_skips_bad_step(rng, tmp_path):
     # was skipped; in both cases the state stays finite on alive rows
     if int(m["bad_step"]):
         np.testing.assert_array_equal(np.asarray(st.points.scaling), before)
+        # the bad_src bitmask must attribute the skip to at least one
+        # gradient group (inf xyz poisons loss and/or grads)
+        from saro_gs_tpu.train.step import bad_src_names
+        srcs = bad_src_names(int(m["bad_src"]))
+        assert srcs, m
     alive = np.asarray(st.alive) > 0
     assert np.isfinite(np.asarray(st.points.scaling)[alive]).all()
     assert np.isfinite(np.asarray(st.points.xyz)[alive][1:]).all()
