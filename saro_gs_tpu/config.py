@@ -117,6 +117,14 @@ class Config:
     # world-space size it prunes scales with resolution, so halved-res
     # scenes need a proportional value or they mass-prune mid-size splats.
     max_screen_size: int = 20
+    # cap on the per-Gaussian inverse-integral LR multiplier (reference
+    # semantics: unbounded up to 1/min_intergral ~ 625x, saro_gaussian.py
+    # update_learning_rate:345-398); 0 = off.  Remedial knob for
+    # reference-scale regimes — the r3 stress run went non-finite after a
+    # +16.7k densify with trbfc_lr 1e-4 x large inv_integral (Adam steps
+    # are ~lr-sized, so bounding the LR bounds the update; clipping
+    # GRADIENTS would be a no-op under Adam's scale invariance)
+    inv_lr_clip: float = 0.0
     seed: int = 666
     data_workers: int = 4
     mesh_data: int = 1                 # device-mesh axes (parallel/)

@@ -204,14 +204,21 @@ def prune_mask_only(alive: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def integral_prune_and_lr(alive: jnp.ndarray, integral: jnp.ndarray,
-                          min_intergral: float):
+                          min_intergral: float, clip: float = 0.0):
     """Every-50-iteration integral prune + inverse-integral LR tensor
     (update_learning_rate, saro_gaussian.py:345-398): prune low-integral
-    points, then inv = (1/I) / min(1/I) over survivors."""
+    points, then inv = (1/I) / min(1/I) over survivors.
+
+    ``clip`` > 0 caps the multiplier (config inv_lr_clip); the reference
+    leaves it unbounded up to 1/min_intergral (~625x at the Neural3D
+    setting), which at reference-scale LRs drove the r3 stress run
+    non-finite after a large densify."""
     valid = (integral[:, 0] > min_intergral) & (alive > 0)
     alive_out = jnp.where(valid, alive, 0.0)
     inv = 1.0 / jnp.maximum(integral[:, 0], 1e-12)
     inv_min = jnp.min(jnp.where(valid, inv, jnp.inf))
     inv_min = jnp.where(jnp.isfinite(inv_min), inv_min, 1.0)
     inv_integral = jnp.where(valid, inv / inv_min, 1.0)[:, None]
+    if clip > 0.0:
+        inv_integral = jnp.minimum(inv_integral, clip)
     return alive_out, inv_integral

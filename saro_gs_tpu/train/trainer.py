@@ -167,7 +167,8 @@ class Trainer:
         integral = gm.temporal_integral(state.points, state.nets, self.mcfg,
                                         self.scene.fstatic)
         alive, inv = dens.integral_prune_and_lr(state.alive, integral,
-                                                self.mcfg.min_intergral)
+                                                self.mcfg.min_intergral,
+                                                clip=self.cfg.inv_lr_clip)
         inv_lr = jnp.where(use_integral, inv, jnp.ones_like(inv))
         return state._replace(alive=alive, inv_integral=inv_lr,
                               inv_integral_densify=inv)

@@ -151,3 +151,23 @@ def test_rel_loss_and_ssim_map(rng):
     assert m.shape == x.shape
     assert float(m.mean()) == pytest.approx(float(losses.ssim(x, y)),
                                             rel=1e-6)
+
+
+def test_inv_lr_clip_caps_multiplier(rng):
+    """inv_lr_clip caps the inverse-integral LR multiplier; clip=0 is the
+    unbounded reference path (update_learning_rate ratios up to
+    max_integral/min_intergral)."""
+    import jax.numpy as jnp
+    from saro_gs_tpu.models.densify import integral_prune_and_lr
+
+    alive = jnp.ones(6)
+    integral = jnp.asarray([[1.0], [0.5], [0.01], [0.002], [1e-5], [0.8]])
+    a0, inv0 = integral_prune_and_lr(alive, integral, 1e-3)
+    # row 4 pruned (below min_intergral), multiplier normalized to min 1
+    assert float(a0[4]) == 0.0
+    np.testing.assert_allclose(float(inv0[0, 0]), 1.0)
+    np.testing.assert_allclose(float(inv0[3, 0]), 500.0, rtol=1e-5)
+    a1, inv1 = integral_prune_and_lr(alive, integral, 1e-3, clip=20.0)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+    assert float(np.asarray(inv1).max()) == 20.0
+    np.testing.assert_allclose(float(inv1[1, 0]), float(inv0[1, 0]))
