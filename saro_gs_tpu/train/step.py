@@ -81,8 +81,29 @@ def batch_loss_fn(points, nets, m2d, *, cams, gt, timestamps, alive, bg,
     # step and share across the view batch.  The grid-sampling backward
     # (scatter-add into the planes) was the top device op at ~86 ms/view
     # when recomputed inside the per-view loop.
-    feat = (gm.field_feat(points, nets, mcfg, fstatic)
-            if stage == "dynamatic" else None)
+    feat = None
+    if stage == "dynamatic":
+        cap = points.xyz.shape[0]
+        if axis_tile is not None and cap % n_tile == 0:
+            # point-axis sharding over the (otherwise idle-at-this-stage)
+            # tile axis: each device samples the hexplane for C/n_tile
+            # Gaussians, all_gather reassembles [C, F].  Exactness: the
+            # gather's transpose psums every consumer device's cotangent
+            # (n_tile copies of dL/dfeat at 1/n_tile loss scale) back to
+            # the producing slice, so the sliced hexplane backward yields
+            # exact partial grid grads that the caller's psum over
+            # ``axis_tile`` completes.  field_feat inputs are detached
+            # (saro_gaussian.py:780), so no g_points path changes.
+            per = cap // n_tile
+            row = jax.lax.axis_index(axis_tile) * per
+            pslice = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_slice_in_dim(x, row, per, 0),
+                points)
+            feat_local = gm.field_feat(pslice, nets, mcfg, fstatic)
+            feat = jax.lax.all_gather(feat_local, axis_tile, axis=0,
+                                      tiled=True)
+        else:
+            feat = gm.field_feat(points, nets, mcfg, fstatic)
 
     def one_view(i):
         cam = jax.tree_util.tree_map(lambda x: x[i], cams)
