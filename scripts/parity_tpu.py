@@ -135,6 +135,13 @@ def main():
         results["combos"].append(combo)
         ok_all &= ok
         print(json.dumps(combo), flush=True)
+        # incremental dump: a driver/timeout kill mid-matrix must not
+        # lose the combos already measured (each costs ~8 min of remote
+        # compile); partial artifacts carry ok=false until the end
+        results["ok"] = False
+        results["partial"] = True
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
 
     # strip mode: 2 strips on the fast flags reassemble + grads sum
     cfg = RasterConfig(backend="pallas", prefix="matmul", packed=False,
@@ -159,6 +166,7 @@ def main():
                         "ok": bool(strip_ok)}
     ok_all &= strip_ok
     results["ok"] = bool(ok_all)
+    results.pop("partial", None)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"parity {'OK' if ok_all else 'FAILED'} -> {out_path}",
