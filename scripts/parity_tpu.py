@@ -96,14 +96,17 @@ def main():
                                  (np.abs(r).max() + 1e-8))
         depth_match = float(np.isclose(np.asarray(fwd.depth),
                                        np.asarray(ref_fwd.depth)).mean())
-        # fraction of pixels disagreeing visibly (diagnostic, recorded):
-        # compiled-vs-oracle differences concentrate on each Gaussian's
-        # alpha ~ 1/255 iso-CONTOUR, where Mosaic and XLA transcendentals
-        # land on opposite sides of the inclusion test (measured ~1% of
-        # pixels at 4k Gaussians; the reference CUDA kernel differs from
-        # ITS python oracle the same way).  Each flip perturbs the pixel
-        # by <= ~1/255, so the max error stays a few quanta while PSNR
-        # stays > 60 dB — a systematic compositing bug shows neither.
+        # fraction of pixels disagreeing visibly (diagnostic, recorded).
+        # Compiled-vs-oracle roll-mode error comes from two benign
+        # sources: (1) Mosaic's exp/transcendental approximations differ
+        # slightly from XLA's, and the per-contributor noise random-walks
+        # along the transmittance chain — so the error scales with a
+        # pixel's contributor DEPTH (the ~1% tail is the dense pixels,
+        # identical across tight_rect variants); (2) borderline
+        # contributors flip the alpha >= 1/255 inclusion test, each
+        # bounded by ~1/255.  Max error stays a few quanta (measured
+        # 0.0085 ~ 2/255 at 71.7 dB); a systematic compositing bug shows
+        # neither the depth correlation nor the bound.
         err_frac = float((np.abs(color - ref_color).max(axis=0)
                           > 1e-3).mean())
         # gates by precision mode: packed quantizes six attrs to bf16
