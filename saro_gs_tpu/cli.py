@@ -28,7 +28,7 @@ def train_main(argv=None):
     jax = _common_setup()
     import jax.numpy as jnp
     from .config import load_config, save_cfg_args
-    from .eval import quick_test_psnr
+    from .eval import quick_test_report
     from .scene import Scene
     from .train.trainer import Trainer
 
@@ -106,9 +106,12 @@ def train_main(argv=None):
     scene.record_points(0, "start training", trainer.n_alive())
 
     def eval_fn(tr, it):
-        psnr = quick_test_psnr(tr, scene.test_cameras())
-        print(f"[eval {it}] test PSNR {psnr:.2f}")
-        rec = {"iteration": it, "PSNR": psnr}
+        rec = quick_test_report(tr, scene.test_cameras())
+        psnr = rec["PSNR"]
+        rec = {"iteration": it, **rec}
+        print(f"[eval {it}] test PSNR {psnr:.2f} SSIM {rec['SSIM']:.4f} "
+              f"MS-SSIM {rec['MS-SSIM']:.4f} "
+              f"(per-view std {rec['PSNR_spread']['std']:.2f})")
         with open(os.path.join(cfg.model_path,
                                f"{it}_runtimeresults.json"), "w") as f:
             json.dump(rec, f, indent=True)

@@ -195,8 +195,13 @@ class Evaluator:
         return results
 
 
-def quick_test_psnr(trainer, cameras: List[Camera], max_views=None) -> float:
-    """Lightweight in-training validation (training_report, train.py:305)."""
+def quick_test_report(trainer, cameras: List[Camera], max_views=None,
+                      histograms: bool = True) -> dict:
+    """In-training validation over the test cameras (training_report,
+    train.py:305-438): L1/PSNR/SSIM/MS-SSIM means, the per-frame PSNR
+    line series (:372-381), and opacity / t-center histograms
+    (:391-408, the reference logs them to tensorboard; here they land
+    in the eval JSON)."""
     cfg = trainer.cfg
     cam0 = cameras[0]
     # jitted: an eager field_feat op-dispatches through the TPU tunnel and
@@ -212,13 +217,51 @@ def quick_test_psnr(trainer, cameras: List[Camera], max_views=None) -> float:
         ev = Evaluator(cfg, trainer.scene)
         trainer._qp_render_cache = (key, ev._render_fn(
             cam0.width, cam0.height, trainer.active_sh_degree, False))
+        # metric kernels jitted once (fresh closures would re-trace
+        # per eval call); SSIM/MS-SSIM are TPU-shaped separable taps
+        trainer._qp_metric_cache = jax.jit(
+            lambda img, gt_: (losses.psnr(img, gt_),
+                              losses.ssim(img, gt_),
+                              losses.msssim(img, gt_),
+                              jnp.abs(img - gt_).mean()))
     render = trainer._qp_render_cache[1]
-    vals = []
+    metric = trainer._qp_metric_cache
+    per_view = {"psnr": [], "ssim": [], "msssim": [], "l1": []}
     for cam in cameras[:max_views]:
         out, _ = render(cam.raster_params(), jnp.float32(cam.timestamp),
                         trainer.state.points, trainer.state.nets,
                         trainer.state.alive, feat)
         gt = cam.load_image(cfg.white_background)
-        vals.append(float(losses.psnr(jnp.clip(out.color, 0, 1),
-                                      jnp.asarray(gt))))
-    return float(np.mean(vals))
+        p, s, ms, l1 = metric(jnp.clip(out.color, 0, 1), jnp.asarray(gt))
+        per_view["psnr"].append(float(p))
+        per_view["ssim"].append(float(s))
+        per_view["msssim"].append(float(ms))
+        per_view["l1"].append(float(l1))
+    pv = np.asarray(per_view["psnr"])
+    rep = {
+        "PSNR": float(pv.mean()), "SSIM": float(np.mean(per_view["ssim"])),
+        "MS-SSIM": float(np.mean(per_view["msssim"])),
+        "L1": float(np.mean(per_view["l1"])),
+        "PSNR_per_view": [round(v, 3) for v in per_view["psnr"]],
+        "PSNR_spread": {"std": float(pv.std()), "min": float(pv.min()),
+                        "max": float(pv.max())},
+    }
+    if histograms:
+        st = trainer.state
+        alive = np.asarray(st.alive) > 0
+        opac = np.asarray(gm.get_opacity(st.points))[:, 0][alive]
+        tc = np.asarray(gm.get_temporal_pos(st.points,
+                                            trainer.mcfg))[:, 0][alive]
+        rep["opacity_hist"] = np.histogram(
+            opac, bins=20, range=(0.0, 1.0))[0].tolist()
+        tc_counts, tc_edges = np.histogram(tc, bins=20)
+        rep["tcenter_hist"] = {"counts": tc_counts.tolist(),
+                               "range": [float(tc_edges[0]),
+                                         float(tc_edges[-1])]}
+    return rep
+
+
+def quick_test_psnr(trainer, cameras: List[Camera], max_views=None) -> float:
+    """Back-compat scalar wrapper around quick_test_report."""
+    return quick_test_report(trainer, cameras, max_views,
+                             histograms=False)["PSNR"]

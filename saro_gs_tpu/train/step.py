@@ -281,15 +281,19 @@ def train_step_core(state, cams, gt, timestamps, bg, fstatic,
     bad_src = jnp.where(finite, 0, 1).astype(jnp.int32)   # bit 0 = loss
     groups = list(zip(gm.GaussianParams._fields, g_points))
     groups += [("nets", g_nets), ("mean2d", g_m2d)]
-    for bit, (_, leaves) in enumerate(groups, start=1):
+    gmax = {}   # per-group max |grad|: the leading indicator of a blow-up
+    for bit, (name, leaves) in enumerate(groups, start=1):
         gf = jnp.bool_(True)
+        gm_ = jnp.float32(0.0)
         # g_m2d feeds the densify-stat accumulator (aux) which persists
         # across steps — a NaN there would poison every later densify
         # decision, so it must gate the update like the parameter grads
         for leaf in jax.tree_util.tree_leaves(leaves):
             gf = gf & jnp.isfinite(jnp.sum(leaf))
+            gm_ = jnp.maximum(gm_, jnp.max(jnp.abs(leaf)))
         finite = finite & gf
         bad_src = bad_src | jnp.where(gf, 0, 1 << bit).astype(jnp.int32)
+        gmax[name] = gm_
     skipped = state._replace(step=state.step + 1)
     new_state = jax.tree_util.tree_map(
         lambda new, old: jnp.where(finite, new, old), new_state, skipped)
@@ -303,7 +307,8 @@ def train_step_core(state, cams, gt, timestamps, bg, fstatic,
 
     metrics = {"loss": loss, "Ll1": ll1, "dropped": dropped,
                "bad_step": (~finite).astype(jnp.int32),
-               "bad_src": bad_src,
+               "bad_src": bad_src, "gmax": gmax,
+               "inv_lr_max": jnp.max(state.inv_integral),
                "psnr": losses.psnr(jnp.clip(last_img, 0, 1), gt[-1])}
     return new_state, metrics
 

@@ -24,7 +24,6 @@ import numpy as np
 
 from ..config import Config
 from ..models import densify as dens
-from ..models import field as field_mod
 from ..models import gaussians as gm
 from ..models import mlp as mlp_mod
 from ..ops.projection import CameraParams
@@ -56,14 +55,6 @@ def dataclasses_dict(cfg) -> dict:
                           (int, float, str, bool, list, tuple))}
 
 
-def _masked_std(x, mask):
-    """Unbiased std over masked rows (torch .std semantics)."""
-    n = jnp.maximum(mask.sum(), 2.0)
-    mean = (x * mask).sum() / n
-    var = (mask * (x - mean) ** 2).sum() / (n - 1.0)
-    return jnp.sqrt(var)
-
-
 class Trainer:
     def __init__(self, cfg: Config, scene: Scene):
         self.cfg = cfg
@@ -90,8 +81,21 @@ class Trainer:
             inv_integral_densify=jnp.ones((cap, 1), jnp.float32),
             step=jnp.zeros((), jnp.int32))
         self.history = []
+        self._check_tile_divisibility()
         if cfg.presize_instances and scene.info.train_cameras:
             self._presize_instances()
+
+    def _check_tile_divisibility(self):
+        """The point-sharded hexplane sampling (step.py batch_loss_fn)
+        silently falls back to fully-replicated field_feat when the
+        capacity is not a multiple of mesh_tile; capacities are chosen
+        host-side, so surface the static condition loudly."""
+        n_tile = self.cfg.mesh_tile
+        cap = self.state.alive.shape[0]
+        if n_tile > 1 and cap % n_tile != 0:
+            print(f"[warn] capacity {cap} not divisible by mesh_tile "
+                  f"{n_tile}: hexplane sampling runs fully replicated "
+                  f"(point-sharding speedup disabled)")
 
     def _presize_instances(self):
         """Right-size the instance capacity before the first train-step jit
@@ -261,6 +265,7 @@ class Trainer:
                                          constant_values=1.0),
             step=s.step, dropped_hwm=s.dropped_hwm, bad_steps=s.bad_steps)
         print(f"[capacity] grown {old} -> {new}")
+        self._check_tile_divisibility()
 
     def _sh_mask(self, active_degree: int) -> jnp.ndarray:
         """[K, 1] coefficient mask for the SH ramp (cached per degree so
@@ -444,6 +449,14 @@ class Trainer:
                        "psnr": float(metrics["psnr"]),
                        "points": self.n_alive(),
                        "elapsed_s": time.time() - t_start}
+                # grad-magnitude + LR-multiplier health telemetry: the
+                # per-group max |grad| is the leading indicator of the
+                # r3 stress divergence (which group blows up FIRST)
+                if "gmax" in metrics:
+                    rec["gmax"] = {k: float(f"{float(v):.3g}") for k, v
+                                   in metrics["gmax"].items()}
+                    rec["inv_lr_max"] = round(
+                        float(metrics["inv_lr_max"]), 1)
                 bad_total = int(jax.device_get(self.state.bad_steps))
                 if bad_total > self._bad_seen:
                     rec["bad_step"] = bad_total - self._bad_seen

@@ -6,7 +6,10 @@ parity checks with compiled Mosaic kernels on the actual chip, over the
 full flag matrix (prefix x packed x expander x tight_rect, plus strip
 mode), and writes a re-runnable JSON artifact.
 
-Usage: python scripts/parity_tpu.py [out.json]   (defaults PARITY_TPU.json)
+Usage: python scripts/parity_tpu.py [out.json] [--resume]
+  (out defaults to PARITY_TPU.json; --resume skips combos already
+  recorded ok in the existing artifact — each costs ~8 min of remote
+  compile, so a killed run resumes where it stopped)
 Exit code 0 iff every combination passes its gate.
 """
 import itertools
@@ -30,7 +33,15 @@ def main():
     from saro_gs_tpu.ops.rasterize import RasterConfig, rasterize
     from tests.scene_fixtures import make_camera, make_gaussians
 
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "PARITY_TPU.json"
+    argv = [a for a in sys.argv[1:] if a != "--resume"]
+    resume = "--resume" in sys.argv[1:]
+    out_path = argv[0] if argv else "PARITY_TPU.json"
+    prev = {}
+    if resume and os.path.exists(out_path):
+        with open(out_path) as f:
+            for c in json.load(f).get("combos", []):
+                prev[(c["prefix"], c["packed"], c["expander"],
+                      c["tight_rect"])] = c
     on_tpu = jax.default_backend() == "tpu"
     w, h, n = (512, 384, 4000) if on_tpu else (128, 96, 300)
     chunk = 128  # Mosaic lane alignment requires 128-multiples on TPU
@@ -80,9 +91,18 @@ def main():
     ok_all = True
     names = ["means", "scales", "quats", "opac", "shs"]
 
+    # production flags FIRST (matmul + packed + pallas + tight is what the
+    # shipping configs train and bench with) so a partial artifact always
+    # covers the combos that matter most
     for prefix, packed, expander, tight in itertools.product(
-            ("roll", "matmul"), (False, True), ("sort", "pallas"),
-            (False, True)):
+            ("matmul", "roll"), (True, False), ("pallas", "sort"),
+            (True, False)):
+        if (prefix, packed, expander, tight) in prev:
+            combo = prev[(prefix, packed, expander, tight)]
+            results["combos"].append(combo)
+            ok_all &= combo["ok"]
+            print("resume: " + json.dumps(combo), flush=True)
+            continue
         cfg = RasterConfig(backend="pallas", prefix=prefix, packed=packed,
                            expander=expander, tight_rect=tight, **base)
         fwd, grads = run(cfg)
@@ -116,8 +136,16 @@ def main():
         # its exp/alpha thresholds still tie-flip a handful of
         # instance-pixel pairs vs the XLA oracle, and a flipped
         # contributor shifts its own grads by a few % — so the TPU gate
-        # is flip-structured (high PSNR + tiny err_frac), while CPU
-        # interpret mode (identical arithmetic) stays strict
+        # is flip-structured (high PSNR + color error bounded by a few
+        # inclusion quanta), while CPU interpret mode (identical
+        # arithmetic) stays strict.  The 0.05 grad bound is required in
+        # EVERY compiled mode, not just roll: measured max grad relerr
+        # (always on quats, the longest vjp chain) is 0.0345 matmul
+        # unpacked, 0.0394 matmul packed, 0.0331/0.0395 roll
+        # unpacked/packed (PARITY_TPU.json, v5e).  err_frac_1e3 is
+        # recorded as a DIAGNOSTIC only — compiled transcendentals give
+        # it ~0.01 (roll) to ~0.26 (packed matmul), so it is never
+        # gated on-TPU
         if packed:
             ok = c_psnr > 45.0 and all(v < 0.05 for v in g_errs.values())
         elif prefix == "matmul" and on_tpu:
@@ -170,7 +198,17 @@ def main():
     sg_err = max(float(np.abs(np.asarray(a) - np.asarray(b)).max() /
                        (np.abs(np.asarray(b)).max() + 1e-8))
                  for a, b in zip(gsum, full_grads))
-    strip_ok = s_err < 1e-4 and sg_err < 2e-3
+    # strip-vs-full gate by precision mode: a row-offset bug shows O(1)
+    # misplacement error, so the gate only needs to sit above the
+    # compiled noise floor.  In compiled matmul-prefix mode the strip
+    # run bins instances per strip — different chunk boundaries feed the
+    # bf16 log-transmittance matmul different roundings (measured
+    # 4.5e-4 color / 0.23% grads on v5e, ~1/8 of a 1/255 quantum);
+    # CPU interpret is exact arithmetic and stays strict
+    if on_tpu:
+        strip_ok = s_err < 2e-3 and sg_err < 1e-2
+    else:
+        strip_ok = s_err < 1e-4 and sg_err < 2e-3
     results["strip"] = {"color_maxerr": s_err, "grad_relerr": sg_err,
                         "ok": bool(strip_ok)}
     ok_all &= strip_ok
