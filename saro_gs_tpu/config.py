@@ -105,6 +105,9 @@ class Config:
     raster_prefix: str = "matmul"
     raster_packed: bool = True
     raster_expander: str = "pallas"
+    # measured SLOWER on v5e (13.7 vs 11.5 ms/frame fwd: a 6-deep HIGHEST
+    # contraction underutilizes the MXU); kept as a parity-gated variant
+    raster_alpha_matmul: bool = False
     tight_rect: bool = True
     # probe one frame at scene load and right-size max_instances (with
     # densify headroom) before the first train-step compile
@@ -169,7 +172,8 @@ class Config:
                                 prefix=self.raster_prefix,
                                 packed=self.raster_packed,
                                 expander=self.raster_expander,
-                                tight_rect=self.tight_rect)
+                                tight_rect=self.tight_rect,
+                                alpha_matmul=self.raster_alpha_matmul)
         return RasterConfig(tile_x=16, tile_y=16, chunk=64,
                             max_instances=self.max_instances,
                             max_slots=self.max_slots, backend="jax",

@@ -67,6 +67,11 @@ class RasterConfig(NamedTuple):
     # forward — eval-only renders save its rank/max bookkeeping; taking
     # gradients with need_aux=False raises at trace time
     need_aux: bool = True
+    # evaluate the splat quadratic as one [K,6]@[6,P] MXU contraction in
+    # tile-local coordinates instead of ~8 [K,P] VPU passes (pallas path);
+    # f32-accurate (HIGHEST), but inclusion thresholds can tie-flip vs the
+    # exact dx/dy form — False is the oracle-exact arithmetic
+    alpha_matmul: bool = False
 
 
 class RenderOutput(NamedTuple):
@@ -123,7 +128,8 @@ def _forward(statics, means3d, scales, quats, opacities, shs, colors_precomp,
         fwd = tile_kernels.forward_tiles_pallas(
             bins, bg, width, height, cfg.tile_x, cfg.tile_y, cfg.chunk,
             prefix=cfg.prefix, grid_y_local=cfg.strip_rows,
-            y0_tiles=row0i, need_aux=cfg.need_aux)
+            y0_tiles=row0i, need_aux=cfg.need_aux,
+            alpha_matmul=cfg.alpha_matmul)
     else:
         bins = binning.bin_gaussians(pre, grid_x, grid_y, cfg.max_instances,
                                      cfg.chunk)
@@ -195,7 +201,8 @@ def _rasterize_bwd(statics, res, cot):
             bins, bg, fwd.color, fwd.final_t, d_color,
             width, height, cfg.tile_x, cfg.tile_y, cfg.chunk,
             n_contrib=fwd.n_contrib, prefix=cfg.prefix,
-            grid_y_local=cfg.strip_rows, y0_tiles=row0i)     # [16, MI]
+            grid_y_local=cfg.strip_rows, y0_tiles=row0i,
+            alpha_matmul=cfg.alpha_matmul)                   # [16, MI]
         ids = bins.ids
         # per-instance -> per-Gaussian: ONE row-window scatter-add over all
         # grad channels.  The barrier materializes the row-major transpose —

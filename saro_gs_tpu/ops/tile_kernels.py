@@ -96,9 +96,17 @@ def _prefix_mul(x, k, mode):
     return _prefix_op(x, 1.0, jnp.multiply, k)
 
 
-def _chunk_alpha(attr, pxf, pyf, k, p):
+def _chunk_alpha(attr, pxf, pyf, k, p, opac=None):
     """Alpha matrix terms for a staged [_ROWS, K] chunk against P pixels.
-    (Alignment-padding rows carry opacity 0 and self-mask.)"""
+    (Alignment-padding rows carry opacity 0 and self-mask.)
+
+    ``opac``: [K, 1] opacity column override — callers fold row-wise
+    masks (tile-range rank validity) into it so no [K, P] mask pass is
+    ever spent on them.  The reference's broken-conic guard
+    (forward.cu:310 `power > 0 -> skip`) is omitted here: preprocess
+    guarantees PD conics (cov2d + 0.3·I), so power > 0 can only happen
+    at rounding level (g = exp(+1e-7) ~ 1) — the jax oracle keeps the
+    guard and the parity suites bound the difference."""
     def row(i):
         return attr[i, :].reshape(k, 1)
     dx = row(0) - pxf            # [K, P]
@@ -106,10 +114,69 @@ def _chunk_alpha(attr, pxf, pyf, k, p):
     ca, cb, cc = row(2), row(3), row(4)
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     g = jnp.exp(power)
-    alpha = jnp.minimum(ALPHA_MAX, row(5) * g)
-    ok = (power <= 0.0) & (alpha >= ALPHA_MIN)
-    a_eff = jnp.where(ok, alpha, 0.0)
-    return dx, dy, g, alpha, a_eff, ok
+    alpha = jnp.minimum(ALPHA_MAX, (row(5) if opac is None else opac) * g)
+    a_eff = jnp.where(alpha >= ALPHA_MIN, alpha, 0.0)
+    return dx, dy, g, alpha, a_eff
+
+
+def _pixel_basis(p, tile_x):
+    """[6, P] per-tile constant basis of the expanded splat quadratic in
+    TILE-LOCAL pixel coordinates (well-conditioned: every entry < 32^2)."""
+    l = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    lx = (l % tile_x).astype(jnp.float32)
+    ly = (l // tile_x).astype(jnp.float32)
+    one = jnp.ones((1, p), jnp.float32)
+    return jnp.concatenate(
+        [one, lx, ly, -0.5 * lx * lx, -(lx * ly), -0.5 * ly * ly], axis=0)
+
+
+def _moment_basis(p, tile_x):
+    """[6, P] monomial basis (1, lx, ly, lx^2, lx*ly, ly^2) in tile-local
+    pixel coordinates: the backward's five Sum_p e*dx^a*dy^b gradient
+    reductions become ONE [K,P]@[P,6] moment contraction plus [K,1]
+    binomial recombination (dx = gx' - lx with |lx| < tile, so the
+    expansion loses < ~1e-5 relative)."""
+    l = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    lx = (l % tile_x).astype(jnp.float32)
+    ly = (l // tile_x).astype(jnp.float32)
+    one = jnp.ones((1, p), jnp.float32)
+    return jnp.concatenate(
+        [one, lx, ly, lx * lx, lx * ly, ly * ly], axis=0)
+
+
+def _chunk_alpha_mm(attr, pix_basis, oxf, oyf, k, p, need_dxdy=False,
+                    opac=None):
+    """_chunk_alpha computed as ONE [K,6]@[6,P] MXU contraction: the
+    quadratic  power = -0.5*ca*dx^2 - 0.5*cc*dy^2 - cb*dx*dy  expands into
+    6 per-Gaussian coefficients against the per-tile pixel basis, turning
+    ~8 [K,P] VPU passes (dx/dy/power algebra) into [1,K] scalar-row algebra
+    plus one tiny matmul.  HIGHEST precision (bf16x6) keeps the f32
+    contraction exact enough that only inclusion-threshold ties can flip
+    (tile-local coordinates bound every basis term by ~tile^2 * conic, so
+    rounding stays < ~2e-4); same quirks as _chunk_alpha otherwise."""
+    def row(i):
+        return attr[i:i + 1, :]                     # [1, K]
+    gx = row(0) - oxf
+    gy = row(1) - oyf
+    ca, cb, cc = row(2), row(3), row(4)
+    coeff = jnp.concatenate([
+        -0.5 * (ca * gx * gx + cc * gy * gy) - cb * gx * gy,
+        ca * gx + cb * gy,
+        cc * gy + cb * gx,
+        ca, cb, cc], axis=0)                        # [6, K]
+    power = jax.lax.dot_general(
+        coeff, pix_basis, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)        # [K, P]
+    g = jnp.exp(power)
+    alpha = jnp.minimum(
+        ALPHA_MAX, (attr[5, :].reshape(k, 1) if opac is None else opac) * g)
+    a_eff = jnp.where(alpha >= ALPHA_MIN, alpha, 0.0)
+    dx = dy = None
+    if need_dxdy:
+        dx = attr[0, :].reshape(k, 1) - (oxf + pix_basis[1:2, :])
+        dy = attr[1, :].reshape(k, 1) - (oyf + pix_basis[2:3, :])
+    return dx, dy, g, alpha, a_eff
 
 
 def _tile_pixel_coords(t, grid_x, tile_x, tile_y, p, y0_tiles=0):
@@ -223,7 +290,7 @@ def expand_rows_pallas(rows: jnp.ndarray, g0s: jnp.ndarray, mi_pad: int,
 def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
                 *out_and_scratch,
                 k, p, grid_x, tile_x, tile_y, prefix="roll",
-                need_aux=True):
+                need_aux=True, alpha_matmul=False):
     if need_aux:
         (color_ref, depth_ref, t_ref, nc_ref,
          attr_vmem, sem) = out_and_scratch
@@ -239,10 +306,15 @@ def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
     astart = pl.multiple_of((start // k) * k, k)
     lead = start - astart
     nchunks = pl.cdiv(lead + count, k)
-    pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p, y0_ref[0])
-    # measured on-chip: materialized [K,P] rank rows edge out [K,1]
-    # broadcasts by ~1% (Mosaic relayouts eat the saved int passes)
+    if alpha_matmul:
+        pix_basis = _pixel_basis(p, tile_x)
+        oxf = ((t % grid_x) * tile_x).astype(jnp.float32)
+        oyf = ((t // grid_x + y0_ref[0]) * tile_y).astype(jnp.float32)
+    else:
+        pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p,
+                                      y0_ref[0])
     rows1 = _row_iota(k, p)
+    rows_col = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
 
     def copy_chunk(c, slot):
         off = pl.multiple_of(astart + c * k, k)
@@ -270,18 +342,25 @@ def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
             copy_chunk(c + 1, 1 - slot).start()
 
         attr = attr_vmem[slot]
-        _, _, _, _, a_eff, _ = _chunk_alpha(attr, pxf, pyf, k, p)
-        # 1-based rank of each row within THIS tile's [start, count) range;
-        # boundary rows outside it self-mask
-        rank1 = (astart - start) + c * k + rows1 + 1                 # [K,1]
-        a_eff = jnp.where((rank1 >= 1) & (rank1 <= count), a_eff, 0.0)
+        # 1-based rank of each row within THIS tile's [start, count) range.
+        # Range validity depends only on the ROW, so it folds into the
+        # opacity COLUMN — zero [K, P] passes spent on boundary masking.
+        rank1 = (astart - start) + c * k + rows_col + 1              # [K,1]
+        opac_m = jnp.where((rank1 >= 1) & (rank1 <= count),
+                           attr[5, :].reshape(k, 1), 0.0)
+        if alpha_matmul:
+            _, _, _, _, a_eff = _chunk_alpha_mm(attr, pix_basis,
+                                                oxf, oyf, k, p, opac=opac_m)
+        else:
+            _, _, _, _, a_eff = _chunk_alpha(attr, pxf, pyf, k, p,
+                                             opac=opac_m)
         # prefix transmittance within chunk (carry folded in)
         tt = _prefix_mul(1.0 - a_eff, k, prefix) * T_in              # [K,P]
         tprev = pltpu.roll(tt, shift=1, axis=0)
         tprev = jnp.where(rows1 < 1, T_in, tprev)
         live = tt >= T_EPS
-        contrib = (a_eff > 0.0) & live
-        w = jnp.where(contrib, a_eff * tprev, 0.0)
+        # a_eff = 0 already zeroes the weight, so live alone gates it
+        w = a_eff * tprev * live.astype(jnp.float32)
         rgbk = attr[6:9, :]                                          # [3,K]
         # HIGHEST: Mosaic DEFAULT quantizes dot inputs to bf16 (~2^-9 rel
         # error on accumulated color); this dot is tiny so exactness is free
@@ -290,14 +369,17 @@ def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
         # median depth: T crosses 0.5 at most once (monotone), and only at
-        # a contributing row (tt < tprev), so a plain accumulator captures
-        # the crossing depth; the 15.0 default is applied after the loop
-        # from T_final >= 0.5 (forward.cu:307-308,363-372)
-        crossing = (tprev > 0.5) & (tt < 0.5)
-        depth_k = attr[9, :].reshape(k, 1)
-        D_out = D_in + jnp.sum(jnp.where(crossing, depth_k, 0.0), axis=0,
-                               keepdims=True)
+        # a contributing row (tt < tprev), so one {0,1} matvec against the
+        # depth row captures the crossing depth exactly (HIGHEST: products
+        # by 0/1); the 15.0 default is applied after the loop from
+        # T_final >= 0.5 (forward.cu:307-308,363-372)
+        crossing = ((tprev > 0.5) & (tt < 0.5)).astype(jnp.float32)
+        D_out = D_in + jax.lax.dot_general(
+            attr[9:10, :], crossing, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         if need_aux:
+            contrib = (a_eff > 0.0) & live
             NC_out = jnp.maximum(
                 NC_in, jnp.max(jnp.where(contrib, rank1, 0), axis=0,
                                keepdims=True))
@@ -340,7 +422,8 @@ def _assemble(x, grid_y, grid_x, tile_y, tile_x, height, width, ch=None):
 
 def forward_tiles_pallas(bins, bg, width, height, tile_x, tile_y, chunk,
                          prefix="roll", grid_y_local: int = 0,
-                         y0_tiles=None, need_aux: bool = True):
+                         y0_tiles=None, need_aux: bool = True,
+                         alpha_matmul: bool = False):
     """bins: binning.StagedBins (gather-free staged instance table).
 
     ``grid_y_local``/``y0_tiles``: strip mode — bins cover only
@@ -359,7 +442,7 @@ def forward_tiles_pallas(bins, bg, width, height, tile_x, tile_y, chunk,
 
     kern = functools.partial(_fwd_kernel, k=k, p=p, grid_x=grid_x,
                              tile_x=tile_x, tile_y=tile_y, prefix=prefix,
-                             need_aux=need_aux)
+                             need_aux=need_aux, alpha_matmul=alpha_matmul)
     n_outs = 4 if need_aux else 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -409,7 +492,7 @@ def _bwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm, dpix_ref, cfg_ref,
                 grads_hbm,
                 attr_vmem, gout_vmem, gprev_vmem, sem_in, sem_out, sem_prev,
                 *, k, p, grid_x, tile_x, tile_y, width, height,
-                prefix="roll"):
+                prefix="roll", alpha_matmul=False):
     del gzero_hbm  # aliased into grads_hbm: pre-zeroed output
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -417,13 +500,26 @@ def _bwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm, dpix_ref, cfg_ref,
     astart = pl.multiple_of((start // k) * k, k)
     lead = start - astart
     nchunks = pl.cdiv(lead + count, k)
-    pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p, y0_ref[0])
+    oxf = ((t % grid_x) * tile_x).astype(jnp.float32)
+    oyf = ((t // grid_x + y0_ref[0]) * tile_y).astype(jnp.float32)
+    if alpha_matmul:
+        # the REPLAY must reproduce the forward's alpha chain bit-for-bit,
+        # so the backward uses the same matmul quadratic
+        pix_basis = _pixel_basis(p, tile_x)
+    else:
+        pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p,
+                                      y0_ref[0])
     rows = _row_iota(k, p)
+    rows_col = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    mom_basis = _moment_basis(p, tile_x)
     dpix = dpix_ref[0]                    # [3, P]
     c_fg = cfg_ref[0]                     # [3, P]
     tfin = tfin_ref[0]                    # [1, P]
     bg = bg_ref[0]                        # [3, P]
     bg_dot = jnp.sum(bg * dpix, axis=0, keepdims=True)   # [1, P]
+    # combined cotangent constant (see d_alpha below): Sum_ch c_fg*dpix
+    # + T_fin * <bg, dpix>, one [1, P] per tile
+    numer = jnp.sum(c_fg * dpix, axis=0, keepdims=True) + tfin * bg_dot
 
     def copy_chunk(c, slot):
         off = pl.multiple_of(astart + c * k, k)
@@ -461,9 +557,16 @@ def _bwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm, dpix_ref, cfg_ref,
             copy_chunk(c + 1, 1 - slot).start()
 
         attr = attr_vmem[slot]
-        dx, dy, g, alpha, a_eff, ok = _chunk_alpha(attr, pxf, pyf, k, p)
-        rank1 = (astart - start) + c * k + rows + 1
-        a_eff = jnp.where((rank1 >= 1) & (rank1 <= count), a_eff, 0.0)
+        # rank-range mask folded into the opacity column (see _fwd_kernel)
+        rank1 = (astart - start) + c * k + rows_col + 1              # [K,1]
+        op_k = attr[5, :].reshape(k, 1)
+        opac_m = jnp.where((rank1 >= 1) & (rank1 <= count), op_k, 0.0)
+        if alpha_matmul:
+            _, _, g, alpha, a_eff = _chunk_alpha_mm(
+                attr, pix_basis, oxf, oyf, k, p, opac=opac_m)
+        else:
+            _, _, g, alpha, a_eff = _chunk_alpha(attr, pxf, pyf, k, p,
+                                                 opac=opac_m)
         tt = _prefix_mul(1.0 - a_eff, k, prefix) * T_in
         tprev = pltpu.roll(tt, shift=1, axis=0)
         tprev = jnp.where(rows < 1, T_in, tprev)
@@ -473,29 +576,48 @@ def _bwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm, dpix_ref, cfg_ref,
         w = cmask * a_eff * tprev                         # [K, P]
         one_m = 1.0 - a_eff
 
-        d_alpha = jnp.zeros((k, p), jnp.float32)
-        psum_rows = []
-        for ch in range(3):
-            c_k = attr[6 + ch, :].reshape(k, 1)
-            cw = w * c_k
-            pref = _prefix_add(cw, k, prefix) + P_in[ch].reshape(1, p)
-            psum_rows.append(pref[k - 1:k, :])
-            S = c_fg[ch].reshape(1, p) - pref
-            d_alpha = d_alpha + (c_k * tprev - S / one_m) * \
-                dpix[ch].reshape(1, p)
-        d_alpha = cmask * (d_alpha - tfin * bg_dot / one_m)
+        # d_alpha, all three channels at once.  The reference's per-channel
+        # accum_rec suffix recovery (backward.cu:515-534) is LINEAR in the
+        # channel, so  Sum_ch (c_k*tprev - S_ch/one_m)*dpix_ch  collapses:
+        #   CD   = colors^T @ dpix            (one [K,3]@[3,P] MXU dot)
+        #   pref = prefix(w * CD) + carry     (ONE combined prefix, not 3)
+        #   d_alpha = cmask*(tprev*CD - (numer - pref)/one_m)
+        CD = jax.lax.dot_general(
+            attr[6:9, :], dpix, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # [K, P]
+        pref = _prefix_add(w * CD, k, prefix) + P_in
+        d_alpha = cmask * (tprev * CD - (numer - pref) / one_m)
         # NOTE: like the reference, no gradient gating on the 0.99 clamp
-        op_k = attr[5, :].reshape(k, 1)
-        d_g = op_k * d_alpha
-        gdx = g * dx
-        gdy = g * dy
+
+        # conic/mean gradient chains: every term is Sum_p e * dx^a dy^b
+        # with e = opacity * g * d_alpha and dx = gx' - lx, so ONE
+        # [K,P]@[P,6] moment contraction + [K,1] binomial recombination
+        # replaces five separate multiply+reduce passes ({0,1}-free but
+        # HIGHEST keeps it f32-exact; see _moment_basis)
+        e = g * d_alpha                                   # [K, P]
+        mom = jax.lax.dot_general(
+            e, mom_basis, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # [K, 6]
+
+        def m(j):
+            return mom[:, j:j + 1]                        # [K, 1]
+        gx = attr[0, :].reshape(k, 1) - oxf
+        gy = attr[1, :].reshape(k, 1) - oyf
+        e_dx = gx * m(0) - m(1)
+        e_dy = gy * m(0) - m(2)
+        e_dxx = gx * gx * m(0) - 2.0 * gx * m(1) + m(3)
+        e_dxy = gx * gy * m(0) - gx * m(2) - gy * m(1) + m(4)
+        e_dyy = gy * gy * m(0) - 2.0 * gy * m(2) + m(5)
         ca, cb, cc = (attr[i, :].reshape(k, 1) for i in (2, 3, 4))
-        d_mx = jnp.sum(d_g * (-gdx * ca - gdy * cb), axis=1) * (0.5 * width)
-        d_my = jnp.sum(d_g * (-gdy * cc - gdx * cb), axis=1) * (0.5 * height)
-        d_ca = jnp.sum(d_g * (-0.5 * gdx * dx), axis=1)
-        d_cb = jnp.sum(d_g * (-gdx * dy), axis=1)
-        d_cc = jnp.sum(d_g * (-0.5 * gdy * dy), axis=1)
-        d_op = jnp.sum(g * d_alpha, axis=1)
+        d_mx = (-(ca * e_dx + cb * e_dy) * op_k)[:, 0] * (0.5 * width)
+        d_my = (-(cc * e_dy + cb * e_dx) * op_k)[:, 0] * (0.5 * height)
+        d_ca = (-0.5 * e_dxx * op_k)[:, 0]
+        d_cb = (-e_dxy * op_k)[:, 0]
+        d_cc = (-0.5 * e_dyy * op_k)[:, 0]
+        # d_op = Sum_p g*d_alpha = M0 (e has no opacity factor here)
+        d_op = m(0)[:, 0]
         # d_rgb: [K, P] @ [P, 3] on the MXU (HIGHEST: see forward color dot)
         d_rgb = jax.lax.dot_general(
             w, dpix, (((1,), (1,)), ((), ())),
@@ -533,11 +655,11 @@ def _bwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm, dpix_ref, cfg_ref,
 
         T_out = jnp.minimum(
             T_in, jnp.min(jnp.where(live, tt, 2.0), axis=0, keepdims=True))
-        P_out = jnp.concatenate(psum_rows, axis=0)        # [3, P]
+        P_out = pref[k - 1:k, :]                          # [1, P]
         return c + 1, T_out, P_out
 
     T0 = jnp.ones((1, p), jnp.float32)
-    P0 = jnp.zeros((3, p), jnp.float32)
+    P0 = jnp.zeros((1, p), jnp.float32)
     c_fin, _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), T0, P0))
 
     @pl.when(jnp.logical_and(c_fin > 0, c_fin < nchunks))
@@ -564,7 +686,8 @@ def _tileify(img, grid_y, grid_x, tile_y, tile_x, ch=None):
 def backward_tiles_pallas(bins, bg, out_color, final_t, d_color,
                           width, height, tile_x, tile_y, chunk,
                           n_contrib=None, prefix="roll",
-                          grid_y_local: int = 0, y0_tiles=None):
+                          grid_y_local: int = 0, y0_tiles=None,
+                          alpha_matmul: bool = False):
     """bins: binning.StagedBins.  Returns per-instance gradients aligned
     with ``bins.ids`` (unaligned layout, zero for never-visited slots).
 
@@ -604,7 +727,8 @@ def backward_tiles_pallas(bins, bg, out_color, final_t, d_color,
 
     kern = functools.partial(_bwd_kernel, k=k, p=p, grid_x=grid_x,
                              tile_x=tile_x, tile_y=tile_y, width=width,
-                             height=height, prefix=prefix)
+                             height=height, prefix=prefix,
+                             alpha_matmul=alpha_matmul)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nt,),

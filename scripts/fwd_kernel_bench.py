@@ -34,8 +34,9 @@ def main():
 
     rng = np.random.RandomState(0)
     # per-tile counts: lognormal-ish mix like a real scene (mean ~335)
+    total_target = int(os.environ.get("SARO_FWD_TOTAL", 460_000))
     counts = np.minimum((rng.lognormal(5.3, 0.9, nt)).astype(np.int64), 4000)
-    counts = (counts * (460_000 / counts.sum())).astype(np.int32)
+    counts = (counts * (total_target / counts.sum())).astype(np.int32)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
     total = int(counts.sum())
     assert total < cap
@@ -66,13 +67,14 @@ def main():
 
     variants = os.environ.get("SARO_FWD_VARIANTS", "aux,noaux").split(",")
     for name in variants:
-        need_aux = name == "aux"
+        need_aux = "noaux" not in name
+        amm = name.startswith("mm")
 
         @jax.jit
         def fwd(attr_in):
             out = tile_kernels.forward_tiles_pallas(
                 bins._replace(attr=attr_in), bg, width, height, tile, tile,
-                chunk, prefix="matmul", need_aux=need_aux)
+                chunk, prefix="matmul", need_aux=need_aux, alpha_matmul=amm)
             return out.color, out.depth, out.final_t
 
         a = bins.attr

@@ -180,6 +180,33 @@ def main():
         with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
 
+    # alpha_matmul on the SHIPPING combo (matmul+packed+pallas+tight):
+    # the [K,6]@[6,P] quadratic contraction vs the oracle, packed-mode
+    # gates (alpha_matmul adds only threshold tie-flips on top of the
+    # bf16 attr quantization; see tile_kernels._chunk_alpha_mm)
+    cfg = RasterConfig(backend="pallas", prefix="matmul", packed=True,
+                       expander="pallas", tight_rect=True,
+                       alpha_matmul=True, **base)
+    fwd, grads = run(cfg)
+    color = np.asarray(fwd.color)
+    am_psnr = psnr(np.clip(color, 0, 1), np.clip(ref_color, 0, 1))
+    am_gerr = {}
+    for g, r, name in zip(grads, ref_grads, names):
+        g, r = np.asarray(g), np.asarray(r)
+        am_gerr[name] = float(np.abs(g - r).max() / (np.abs(r).max() + 1e-8))
+    am_ok = am_psnr > 45.0 and all(v < 0.05 for v in am_gerr.values())
+    results["alpha_matmul"] = {
+        "color_psnr_db": round(am_psnr, 2),
+        "color_maxerr": float(np.abs(color - ref_color).max()),
+        "grad_relerr": {k: round(v, 6) for k, v in am_gerr.items()},
+        "ok": bool(am_ok)}
+    ok_all &= am_ok
+    print(json.dumps({"alpha_matmul": results["alpha_matmul"]}), flush=True)
+    results["ok"] = False
+    results["partial"] = True
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+
     # strip mode: 2 strips on the fast flags reassemble + grads sum
     cfg = RasterConfig(backend="pallas", prefix="matmul", packed=False,
                        expander="pallas", tight_rect=True, **base)

