@@ -288,124 +288,166 @@ def expand_rows_pallas(rows: jnp.ndarray, g0s: jnp.ndarray, mi_pad: int,
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
-                *out_and_scratch,
-                k, p, grid_x, tile_x, tile_y, prefix="roll",
-                need_aux=True, alpha_matmul=False):
-    if need_aux:
-        (color_ref, depth_ref, t_ref, nc_ref,
-         attr_vmem, sem) = out_and_scratch
-    else:
-        # eval-only: n_contrib (backward replay bound) is never consumed
-        color_ref, depth_ref, t_ref, attr_vmem, sem = out_and_scratch
-        nc_ref = None
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    count = counts_ref[t]
-    # tile ranges are UNALIGNED; DMA the chunk-aligned envelope and mask
-    # boundary rows by global instance index (neighbours' rows get alpha 0)
-    astart = pl.multiple_of((start // k) * k, k)
-    lead = start - astart
-    nchunks = pl.cdiv(lead + count, k)
-    if alpha_matmul:
-        pix_basis = _pixel_basis(p, tile_x)
-        oxf = ((t % grid_x) * tile_x).astype(jnp.float32)
-        oyf = ((t // grid_x + y0_ref[0]) * tile_y).astype(jnp.float32)
-    else:
-        pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p,
-                                      y0_ref[0])
+                color_ref, aux_ref, attr_vmem, c0_vmem, sem, c0_sem,
+                *, k, p, grid_x, tile_x, tile_y, nt, tps,
+                prefix="roll", need_aux=True, alpha_matmul=False):
+    """Each grid step owns ``tps`` consecutive tiles: per-tile fixed costs
+    (grid bookkeeping, output-window DMAs, and — via the batched chunk-0
+    prefetch below — the first HBM fetch latency) measured ~3us/tile,
+    ~40% of the 460k-instance frame, so they are amortized 1/tps."""
+    step = pl.program_id(0)
     rows1 = _row_iota(k, p)
     rows_col = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    cols_row = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    if alpha_matmul:
+        pix_basis = _pixel_basis(p, tile_x)
 
-    def copy_chunk(c, slot):
-        off = pl.multiple_of(astart + c * k, k)
-        return pltpu.make_async_copy(
-            attr_hbm.at[:, pl.ds(off, k)], attr_vmem.at[slot],
-            sem.at[slot])
+    def tile_meta(i):
+        ti = step * tps + i
+        t = jnp.minimum(ti, nt - 1)
+        start = starts_ref[t]
+        count = jnp.where(ti < nt, counts_ref[t], 0)
+        # tile ranges are UNALIGNED; DMA the chunk-aligned envelope and
+        # mask boundary rows by instance rank (neighbours' rows -> alpha 0)
+        astart = pl.multiple_of((start // k) * k, k)
+        nchunks = pl.cdiv(start - astart + count, k)
+        return t, start, count, astart, nchunks
 
-    @pl.when(nchunks > 0)
-    def _():
-        copy_chunk(0, 0).start()
+    # batch-issue every tile's FIRST chunk DMA up front: its HBM latency
+    # hides behind the preceding tiles' compute instead of stalling each
+    # tile's loop entry
+    for i in range(tps):
+        _, _, _, astart_i, nchunks_i = tile_meta(i)
 
-    def cond(carry):
-        c, T_in, *_ = carry
-        # early termination: stop once every pixel's transmittance is
-        # saturated (forward.cu's per-pixel done flag, per tile)
-        return jnp.logical_and(c < nchunks, jnp.any(T_in >= T_EPS))
+        @pl.when(nchunks_i > 0)
+        def _(i=i, astart_i=astart_i):
+            pltpu.make_async_copy(
+                attr_hbm.at[:, pl.ds(astart_i, k)], c0_vmem.at[i],
+                c0_sem.at[i]).start()
 
-    def body(carry):
-        c, T_in, C_in, D_in, NC_in = carry
-        slot = jax.lax.rem(c, 2)
-        copy_chunk(c, slot).wait()
-
-        @pl.when(c + 1 < nchunks)
-        def _():
-            copy_chunk(c + 1, 1 - slot).start()
-
-        attr = attr_vmem[slot]
-        # 1-based rank of each row within THIS tile's [start, count) range.
-        # Range validity depends only on the ROW, so it folds into the
-        # opacity COLUMN — zero [K, P] passes spent on boundary masking.
-        rank1 = (astart - start) + c * k + rows_col + 1              # [K,1]
-        opac_m = jnp.where((rank1 >= 1) & (rank1 <= count),
-                           attr[5, :].reshape(k, 1), 0.0)
+    for i in range(tps):
+        t, start, count, astart, nchunks = tile_meta(i)
         if alpha_matmul:
-            _, _, _, _, a_eff = _chunk_alpha_mm(attr, pix_basis,
-                                                oxf, oyf, k, p, opac=opac_m)
+            oxf = ((t % grid_x) * tile_x).astype(jnp.float32)
+            oyf = ((t // grid_x + y0_ref[0]) * tile_y).astype(jnp.float32)
         else:
-            _, _, _, _, a_eff = _chunk_alpha(attr, pxf, pyf, k, p,
-                                             opac=opac_m)
-        # prefix transmittance within chunk (carry folded in)
-        tt = _prefix_mul(1.0 - a_eff, k, prefix) * T_in              # [K,P]
-        tprev = pltpu.roll(tt, shift=1, axis=0)
-        tprev = jnp.where(rows1 < 1, T_in, tprev)
-        live = tt >= T_EPS
-        # a_eff = 0 already zeroes the weight, so live alone gates it
-        w = a_eff * tprev * live.astype(jnp.float32)
-        rgbk = attr[6:9, :]                                          # [3,K]
-        # HIGHEST: Mosaic DEFAULT quantizes dot inputs to bf16 (~2^-9 rel
-        # error on accumulated color); this dot is tiny so exactness is free
-        C_out = C_in + jax.lax.dot_general(
-            rgbk, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        # median depth: T crosses 0.5 at most once (monotone), and only at
-        # a contributing row (tt < tprev), so one {0,1} matvec against the
-        # depth row captures the crossing depth exactly (HIGHEST: products
-        # by 0/1); the 15.0 default is applied after the loop from
-        # T_final >= 0.5 (forward.cu:307-308,363-372)
-        crossing = ((tprev > 0.5) & (tt < 0.5)).astype(jnp.float32)
-        D_out = D_in + jax.lax.dot_general(
-            attr[9:10, :], crossing, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            pxf, pyf = _tile_pixel_coords(t, grid_x, tile_x, tile_y, p,
+                                          y0_ref[0])
+
+        def copy_chunk(c, slot, astart=astart):
+            off = pl.multiple_of(astart + c * k, k)
+            return pltpu.make_async_copy(
+                attr_hbm.at[:, pl.ds(off, k)], attr_vmem.at[slot],
+                sem.at[slot])
+
+        def process(attr, c, T_in, C_in, D_in, NC_in,
+                    start=start, count=count, astart=astart):
+            # 1-based rank of each row within THIS tile's [start, count)
+            # range.  Range validity depends only on the ROW, so it folds
+            # into the opacity COLUMN — zero [K, P] passes spent on
+            # boundary masking.  The [1, K] row mask additionally zeroes
+            # the color/depth rows so a count==0 tile (whose chunk-0
+            # buffer was never DMA'd and may hold garbage, even NaN)
+            # contributes exactly nothing.
+            base = (astart - start) + c * k + 1
+            rank1 = base + rows_col                                  # [K,1]
+            maskrow = ((base + cols_row >= 1) &
+                       (base + cols_row <= count)).astype(jnp.float32)
+            opac_m = jnp.where((rank1 >= 1) & (rank1 <= count),
+                               attr[5, :].reshape(k, 1), 0.0)
+            if alpha_matmul:
+                _, _, _, _, a_eff = _chunk_alpha_mm(
+                    attr, pix_basis, oxf, oyf, k, p, opac=opac_m)
+            else:
+                _, _, _, _, a_eff = _chunk_alpha(attr, pxf, pyf, k, p,
+                                                 opac=opac_m)
+            # prefix transmittance within chunk (carry folded in)
+            tt = _prefix_mul(1.0 - a_eff, k, prefix) * T_in          # [K,P]
+            tprev = pltpu.roll(tt, shift=1, axis=0)
+            tprev = jnp.where(rows1 < 1, T_in, tprev)
+            live = tt >= T_EPS
+            # a_eff = 0 already zeroes the weight, so live alone gates it
+            w = a_eff * tprev * live.astype(jnp.float32)
+            rgbk = attr[6:9, :] * maskrow                            # [3,K]
+            # HIGHEST: Mosaic DEFAULT quantizes dot inputs to bf16 (~2^-9
+            # rel error on accumulated color); this dot is tiny so
+            # exactness is free
+            C_out = C_in + jax.lax.dot_general(
+                rgbk, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            # median depth: T crosses 0.5 at most once (monotone), and
+            # only at a contributing row (tt < tprev), so one {0,1}
+            # matvec against the depth row captures the crossing depth
+            # exactly (HIGHEST: products by 0/1); the 15.0 default is
+            # applied after the loop from T_final >= 0.5
+            # (forward.cu:307-308,363-372)
+            crossing = ((tprev > 0.5) & (tt < 0.5)).astype(jnp.float32)
+            D_out = D_in + jax.lax.dot_general(
+                attr[9:10, :] * maskrow, crossing, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            if need_aux:
+                contrib = (a_eff > 0.0) & live
+                NC_out = jnp.maximum(
+                    NC_in, jnp.max(jnp.where(contrib, rank1, 0), axis=0,
+                                   keepdims=True))
+            else:
+                NC_out = NC_in
+            T_out = jnp.minimum(
+                T_in, jnp.min(jnp.where(live, tt, 2.0), axis=0,
+                              keepdims=True))
+            return T_out, C_out, D_out, NC_out
+
+        # peeled chunk 0 from the batch-prefetch buffer; kick chunk 1
+        # into the rotating double-buffer before computing on chunk 0
+        @pl.when(nchunks > 0)
+        def _(i=i, astart=astart):
+            pltpu.make_async_copy(
+                attr_hbm.at[:, pl.ds(astart, k)], c0_vmem.at[i],
+                c0_sem.at[i]).wait()
+
+        @pl.when(nchunks > 1)
+        def _():
+            copy_chunk(1, 1).start()
+
+        T1, C1, D1, NC1 = process(
+            c0_vmem[i], 0,
+            jnp.ones((1, p), jnp.float32), jnp.zeros((3, p), jnp.float32),
+            jnp.zeros((1, p), jnp.float32), jnp.zeros((1, p), jnp.int32))
+
+        def cond(carry):
+            c, T_in, *_ = carry
+            # early termination: stop once every pixel's transmittance is
+            # saturated (forward.cu's per-pixel done flag, per tile)
+            return jnp.logical_and(c < nchunks, jnp.any(T_in >= T_EPS))
+
+        def body(carry):
+            c, T_in, C_in, D_in, NC_in = carry
+            slot = jax.lax.rem(c, 2)
+            copy_chunk(c, slot).wait()
+
+            @pl.when(c + 1 < nchunks)
+            def _():
+                copy_chunk(c + 1, 1 - slot).start()
+
+            outs = process(attr_vmem[slot], c, T_in, C_in, D_in, NC_in)
+            return (c + 1,) + outs
+
+        c_fin, T, C, D, NC = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), T1, C1, D1, NC1))
+
+        # drain the prefetch issued for a chunk never processed (early exit)
+        @pl.when(c_fin < nchunks)
+        def _():
+            copy_chunk(c_fin, jax.lax.rem(c_fin, 2)).wait()
+
+        color_ref[i] = C
+        aux_ref[i, 0, :] = jnp.where(T < 0.5, D, DEPTH_DEFAULT)[0]
+        aux_ref[i, 1, :] = T[0]
         if need_aux:
-            contrib = (a_eff > 0.0) & live
-            NC_out = jnp.maximum(
-                NC_in, jnp.max(jnp.where(contrib, rank1, 0), axis=0,
-                               keepdims=True))
-        else:
-            NC_out = NC_in
-        T_out = jnp.minimum(
-            T_in, jnp.min(jnp.where(live, tt, 2.0), axis=0, keepdims=True))
-        return c + 1, T_out, C_out, D_out, NC_out
-
-    T0 = jnp.ones((1, p), jnp.float32)
-    C0 = jnp.zeros((3, p), jnp.float32)
-    D0 = jnp.zeros((1, p), jnp.float32)
-    NC0 = jnp.zeros((1, p), jnp.int32)
-    c_fin, T, C, D, NC = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), T0, C0, D0, NC0))
-
-    # drain the prefetch issued for the chunk we never processed (early exit)
-    @pl.when(jnp.logical_and(c_fin > 0, c_fin < nchunks))
-    def _():
-        copy_chunk(c_fin, jax.lax.rem(c_fin, 2)).wait()
-
-    color_ref[0] = C
-    depth_ref[0] = jnp.where(T < 0.5, D, DEPTH_DEFAULT)
-    t_ref[0] = T
-    if need_aux:
-        nc_ref[0] = NC
+            # n_contrib rides the f32 aux plane (counts < 2^24: exact)
+            aux_ref[i, 2, :] = NC.astype(jnp.float32)[0]
 
 
 def _assemble(x, grid_y, grid_x, tile_y, tile_x, height, width, ch=None):
@@ -439,47 +481,49 @@ def forward_tiles_pallas(bins, bg, width, height, tile_x, tile_y, chunk,
     nt = grid_x * grid_y
     y0 = (jnp.zeros((1,), jnp.int32) if y0_tiles is None
           else jnp.asarray(y0_tiles, jnp.int32).reshape(1))
+    tps = min(4, nt)                  # tiles per grid step (amortization)
+    ntp = -(-nt // tps) * tps
+    naux = 3 if need_aux else 2
 
     kern = functools.partial(_fwd_kernel, k=k, p=p, grid_x=grid_x,
-                             tile_x=tile_x, tile_y=tile_y, prefix=prefix,
-                             need_aux=need_aux, alpha_matmul=alpha_matmul)
-    n_outs = 4 if need_aux else 3
+                             tile_x=tile_x, tile_y=tile_y, nt=nt, tps=tps,
+                             prefix=prefix, need_aux=need_aux,
+                             alpha_matmul=alpha_matmul)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nt,),
+        grid=(ntp // tps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0)),
-        ] + [pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0))
-             ] * (n_outs - 1),
+            pl.BlockSpec((tps, 3, p), lambda s, *_: (s, 0, 0)),
+            pl.BlockSpec((tps, naux, p), lambda s, *_: (s, 0, 0)),
+        ],
         scratch_shapes=[pltpu.VMEM((2, _ROWS, k), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
+                        pltpu.VMEM((tps, _ROWS, k), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((tps,))],
     )
-    outs = pl.pallas_call(
+    color, aux = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nt, 3, p), jnp.float32),
-            jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
-        ] + ([jax.ShapeDtypeStruct((nt, 1, p), jnp.int32)]
-             if need_aux else []),
+            jax.ShapeDtypeStruct((ntp, 3, p), jnp.float32),
+            jax.ShapeDtypeStruct((ntp, naux, p), jnp.float32),
+        ],
         interpret=_interpret(),
     )(bins.tile_start, bins.tile_count, y0, bins.attr)
-    color, dep, t_fin = outs[:3]
 
-    color_img = _assemble(color, grid_y, grid_x, tile_y, tile_x, out_h,
+    color_img = _assemble(color[:nt], grid_y, grid_x, tile_y, tile_x, out_h,
                           width, ch=3)
-    t_img = _assemble(t_fin[:, 0], grid_y, grid_x, tile_y, tile_x, out_h,
+    t_img = _assemble(aux[:nt, 1], grid_y, grid_x, tile_y, tile_x, out_h,
                       width)
     color_img = color_img + t_img[None] * bg.astype(jnp.float32)[:, None, None]
     return ForwardTilesOut(
         color=color_img,
-        depth=_assemble(dep[:, 0], grid_y, grid_x, tile_y, tile_x, out_h,
+        depth=_assemble(aux[:nt, 0], grid_y, grid_x, tile_y, tile_x, out_h,
                         width),
         final_t=t_img,
-        n_contrib=(_assemble(outs[3][:, 0], grid_y, grid_x, tile_y, tile_x,
-                             out_h, width) if need_aux
+        n_contrib=(_assemble(aux[:nt, 2], grid_y, grid_x, tile_y, tile_x,
+                             out_h, width).astype(jnp.int32) if need_aux
                    else jnp.zeros((out_h, width), jnp.int32)))
 
 
