@@ -52,9 +52,17 @@ def find_checkpoint():
     if path:
         return path if os.path.exists(path) else None
     import glob as _glob
-    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "log", "synth_arena")
-    for exp in ("r2d", "r2main"):
+    here = os.path.dirname(os.path.abspath(__file__))
+    # git-tracked checkpoint first: round boundaries wipe log/, and the
+    # driver-visible bench must measure the reference protocol (a TRAINED
+    # model) rather than the synthetic fallback
+    tracked = os.path.join(here, "checkpoints", "arena", "point_cloud",
+                           "iteration_best", "point_cloud.ply")
+    if os.path.exists(tracked) and os.path.exists(
+            tracked.replace(".ply", ".npz")):
+        return tracked
+    root = os.path.join(here, "log", "synth_arena")
+    for exp in ("r4", "r2d", "r2main"):
         tags = ["iteration_best"]
         # fall back to the highest saved iteration if best/final missing
         pat = os.path.join(root, exp, "point_cloud", "iteration_*")
