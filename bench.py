@@ -92,7 +92,7 @@ def load_ckpt_state(path, mcfg):
     return load_gaussian_checkpoint(path, tpl, capacity=None)
 
 
-def bench_fps():
+def bench_fps(use_ckpt=False):
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _camera, _synthetic_state
@@ -105,7 +105,9 @@ def bench_fps():
     if not on_tpu:
         width, height = 338, 254
 
-    ckpt = find_checkpoint() if on_tpu else None
+    ckpt = find_checkpoint() if (on_tpu and use_ckpt) else None
+    if use_ckpt and ckpt is None:
+        return None
     if ckpt:
         from saro_gs_tpu.config import load_cfg_args
         cfg_path = os.path.join(os.path.dirname(os.path.dirname(
@@ -210,7 +212,8 @@ def bench_fps():
                   f"at cap {rcfg.max_instances} — FPS measured on "
                   f"truncated frames", file=sys.stderr)
     return {
-        "metric": f"render_fps_{width}x{height}",
+        "metric": (f"render_fps_ckpt_{width}x{height}" if ckpt
+                   else f"render_fps_{width}x{height}"),
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": None,
@@ -329,12 +332,26 @@ if __name__ == "__main__":
     # Headline FIRST, printed+flushed the instant it exists: round 2
     # computed both benches before printing anything and a driver timeout
     # (rc=124) shipped ZERO numbers.  The LAST printed line is always the
-    # render-FPS record (the driver parses the last JSON line).
+    # SYNTHETIC-scene render-FPS record — the round-1 baseline (63.02)
+    # was measured on the synthetic 200k scene, so only that line is
+    # comparable across rounds.  The trained-checkpoint FPS (the
+    # reference's test.py protocol: time a TRAINED model) is measured
+    # and printed as its own `render_fps_ckpt_*` metric and embedded in
+    # the headline; its instance count tracks whatever was trained
+    # (124k pts here vs 78.6k in r3), so it is not a cross-round series.
     deadline = float(os.environ.get("SARO_BENCH_DEADLINE", "2700"))
     t_start = time.time()
     fps_rec = bench_fps()
     fps_rec["vs_baseline"] = round(fps_rec["value"] / 63.02, 2)  # round-1
     print(json.dumps(fps_rec), flush=True)
+    ckpt_rec = None
+    if time.time() - t_start < deadline - 600:
+        ckpt_rec = bench_fps(use_ckpt=True)
+    if ckpt_rec:
+        ckpt_rec["note"] = "reference protocol: trained model"
+        print(json.dumps(ckpt_rec), flush=True)
+        fps_rec["ckpt_fps"] = ckpt_rec["value"]
+        fps_rec["ckpt_scene"] = ckpt_rec["scene"]
     train_rec = None
     budget = deadline - (time.time() - t_start)
     if os.environ.get("SARO_BENCH_SKIP_TRAIN", "0") != "1" and budget > 120:
@@ -343,6 +360,6 @@ if __name__ == "__main__":
         fps_rec["train_steps_per_s"] = train_rec["value"]
         train_rec["render_fps"] = fps_rec["value"]
         print(json.dumps(train_rec), flush=True)
-    # final line = headline, cross-embedding the train number when it ran
+    # final line = headline, cross-embedding the other metrics
     print(json.dumps(fps_rec), flush=True)
     os._exit(0)  # skip the axon plugin's slow exit teardown
