@@ -128,6 +128,9 @@ class Config:
     # are ~lr-sized, so bounding the LR bounds the update; clipping
     # GRADIENTS would be a no-op under Adam's scale invariance)
     inv_lr_clip: float = 0.0
+    # relative scale floor (x camera extent) applied after each Adam step;
+    # 0 = off (reference has no floor).  See train/step.py StepStatics.
+    scale_floor: float = 0.0
     seed: int = 666
     data_workers: int = 4
     mesh_data: int = 1                 # device-mesh axes (parallel/)

@@ -30,6 +30,11 @@ class StepStatics(NamedTuple):
     height: int
     cfg_lrs: tuple         # see make_lr_statics
     extent: float
+    # relative scale floor (x extent); 0 = off (reference-faithful).  The
+    # r4 arena run's 290x-LR window minted 41k/124k points with scales
+    # < 1e-5 and saturated opacity — with the +0.3px low-pass those render
+    # as opaque 1px dots (salt noise + non-finite gradient fodder)
+    scale_floor: float = 0.0
 
 
 def make_lr_statics(cfg) -> tuple:
@@ -267,6 +272,11 @@ def train_step_core(state, cams, gt, timestamps, bg, fstatic,
     pts = new_params["points"]
     pts = pts._replace(scaling=jnp.minimum(
         pts.scaling, jnp.log(2.0 * st.extent + 1e-6)))
+    if st.scale_floor > 0.0:
+        # symmetric floor (config scale_floor, relative to extent): stop
+        # the collapsed-scale/saturated-opacity degeneracy (see above)
+        pts = pts._replace(scaling=jnp.maximum(
+            pts.scaling, jnp.log(st.scale_floor * st.extent)))
     new_state = state._replace(
         points=pts, nets=new_params["nets"], opt=new_opt,
         aux=aux, step=state.step + 1)

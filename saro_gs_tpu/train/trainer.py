@@ -140,7 +140,8 @@ class Trainer:
             mcfg=self.mcfg, rcfg=self.rcfg, weights=self.weights,
             width=self.width, height=self.height,
             cfg_lrs=step.make_lr_statics(self.cfg),
-            extent=self.scene.cameras_extent)
+            extent=self.scene.cameras_extent,
+            scale_floor=self.cfg.scale_floor)
 
     @functools.partial(jax.jit, static_argnames=("self", "st", "stage"))
     def _train_step(self, state: TrainState, cams: CameraParams,
