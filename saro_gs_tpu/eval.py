@@ -217,8 +217,11 @@ def quick_test_report(trainer, cameras: List[Camera], max_views=None,
         ev = Evaluator(cfg, trainer.scene)
         trainer._qp_render_cache = (key, ev._render_fn(
             cam0.width, cam0.height, trainer.active_sh_degree, False))
+    if getattr(trainer, "_qp_metric_cache", None) is None:
         # metric kernels jitted once (fresh closures would re-trace
-        # per eval call); SSIM/MS-SSIM are TPU-shaped separable taps
+        # per eval call); SSIM/MS-SSIM are TPU-shaped separable taps.
+        # Built independently of the render-cache key so a pre-populated
+        # render cache can't leave the metric cache unset.
         trainer._qp_metric_cache = jax.jit(
             lambda img, gt_: (losses.psnr(img, gt_),
                               losses.ssim(img, gt_),

@@ -348,7 +348,11 @@ def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
             # boundary masking.  The [1, K] row mask additionally zeroes
             # the color/depth rows so a count==0 tile (whose chunk-0
             # buffer was never DMA'd and may hold garbage, even NaN)
-            # contributes exactly nothing.
+            # contributes exactly nothing.  Masking must be a SELECT, not
+            # a multiply: uninitialized VMEM is implementation-defined and
+            # NaN*0 == NaN would survive into the dot accumulation.  (The
+            # alpha path is already NaN-safe: `alpha >= ALPHA_MIN` is
+            # False for NaN, so a_eff selects to 0.)
             base = (astart - start) + c * k + 1
             rank1 = base + rows_col                                  # [K,1]
             maskrow = ((base + cols_row >= 1) &
@@ -368,7 +372,7 @@ def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
             live = tt >= T_EPS
             # a_eff = 0 already zeroes the weight, so live alone gates it
             w = a_eff * tprev * live.astype(jnp.float32)
-            rgbk = attr[6:9, :] * maskrow                            # [3,K]
+            rgbk = jnp.where(maskrow > 0, attr[6:9, :], 0.0)         # [3,K]
             # HIGHEST: Mosaic DEFAULT quantizes dot inputs to bf16 (~2^-9
             # rel error on accumulated color); this dot is tiny so
             # exactness is free
@@ -384,7 +388,8 @@ def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
             # (forward.cu:307-308,363-372)
             crossing = ((tprev > 0.5) & (tt < 0.5)).astype(jnp.float32)
             D_out = D_in + jax.lax.dot_general(
-                attr[9:10, :] * maskrow, crossing, (((1,), (0,)), ((), ())),
+                jnp.where(maskrow > 0, attr[9:10, :], 0.0), crossing,
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
             if need_aux:

@@ -40,8 +40,11 @@ def main():
     if resume and os.path.exists(out_path):
         with open(out_path) as f:
             for c in json.load(f).get("combos", []):
-                prev[(c["prefix"], c["packed"], c["expander"],
-                      c["tight_rect"])] = c
+                # only reuse combos that PASSED — a failed combo must be
+                # re-tested so a resumed run can clear it
+                if c.get("ok"):
+                    prev[(c["prefix"], c["packed"], c["expander"],
+                          c["tight_rect"])] = c
     on_tpu = jax.default_backend() == "tpu"
     w, h, n = (512, 384, 4000) if on_tpu else (128, 96, 300)
     chunk = 128  # Mosaic lane alignment requires 128-multiples on TPU

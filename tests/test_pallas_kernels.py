@@ -62,10 +62,14 @@ def test_pallas_backward_matches_jax(rng):
         assert err < 1e-3, f"{name}: rel err {err}"
 
 
-def test_tight_rect_is_exact(rng):
+def test_tight_rect_color_exact_grads_reassoc(rng):
     """Opacity-aware per-axis rects + corner culling drop only
-    zero-contribution instances: rendered output and gradients are
-    identical to the reference 3-sigma-circle rects."""
+    zero-contribution instances: rendered COLOR/depth/final_t are
+    identical (atol 1e-6) to the reference 3-sigma-circle rects.
+    GRADIENTS are only reassociation-level equal (rtol 1e-4/atol 1e-5):
+    tight changes per-tile instance counts, so chunk-boundary prefix
+    carries and moment recombination round differently — culled
+    instances still contribute exactly zero."""
     cam, meta = make_camera()
     means, scales, quats, opac, shs = make_gaussians(rng, n=40)
     # include low-opacity splats where the tight rect shrinks hard
