@@ -72,6 +72,12 @@ class RasterConfig(NamedTuple):
     # f32-accurate (HIGHEST), but inclusion thresholds can tie-flip vs the
     # exact dx/dy form — False is the oracle-exact arithmetic
     alpha_matmul: bool = False
+    # serve a grid step whose tps tiles ALL fit one aligned [chunk]-row
+    # window with a single group-segmented chunk pipeline (~50% of steps
+    # at bench scale), incl. a constant-write shortcut for all-empty
+    # steps.  Bit-identical to the per-tile path (tile_kernels._packed_step);
+    # only active with prefix="matmul" and alpha_matmul=False
+    pack_small: bool = True
 
 
 class RenderOutput(NamedTuple):
@@ -129,7 +135,7 @@ def _forward(statics, means3d, scales, quats, opacities, shs, colors_precomp,
             bins, bg, width, height, cfg.tile_x, cfg.tile_y, cfg.chunk,
             prefix=cfg.prefix, grid_y_local=cfg.strip_rows,
             y0_tiles=row0i, need_aux=cfg.need_aux,
-            alpha_matmul=cfg.alpha_matmul)
+            alpha_matmul=cfg.alpha_matmul, pack_small=cfg.pack_small)
     else:
         bins = binning.bin_gaussians(pre, grid_x, grid_y, cfg.max_instances,
                                      cfg.chunk)

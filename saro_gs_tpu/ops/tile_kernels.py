@@ -287,14 +287,135 @@ def expand_rows_pallas(rows: jnp.ndarray, g0s: jnp.ndarray, mi_pad: int,
 # forward
 # ---------------------------------------------------------------------------
 
+def _packed_step(metas, total, a_first, y0_ref, attr_hbm, c0_vmem, c0_sem,
+                 color_ref, aux_ref, *, k, p, grid_x, tile_x, tile_y, tps,
+                 need_aux):
+    """One grid step whose tps tiles ALL fit in a single aligned [k]-row
+    window: composite every tile with ONE chunk pipeline.
+
+    Exactness vs the per-tile path (see _fwd_kernel docstring): pixel
+    coordinates are rebuilt per ROW as integer origin + tile-local iota
+    (exact f32 adds reproduce dx = gx - px bit-for-bit), the prefix is
+    segmented by zeroing cross-group entries of the [K,K] triangular
+    operator (the per-tile path zeroes the same contraction terms via
+    out-of-range log(1)=0), and color/depth leave through group-masked
+    [16,K]/[8,K] MXU contractions placing identical values at identical
+    positions."""
+    zero_c = jnp.zeros((3, p), jnp.float32)
+    one_t = jnp.ones((1, p), jnp.float32)
+
+    @pl.when(total == 0)
+    def _():
+        # all tiles empty: constant outputs, no DMA was issued
+        for i in range(tps):
+            color_ref[i] = zero_c
+            aux_ref[i, 0, :] = jnp.full((p,), DEPTH_DEFAULT, jnp.float32)
+            aux_ref[i, 1, :] = one_t[0]
+            if need_aux:
+                aux_ref[i, 2, :] = jnp.zeros((p,), jnp.float32)
+
+    @pl.when(total > 0)
+    def _():
+        pltpu.make_async_copy(
+            attr_hbm.at[:, pl.ds(a_first, k)], c0_vmem.at[0],
+            c0_sem.at[0]).wait()
+        attr = c0_vmem[0]
+        ridx_c = a_first + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+        ridx_r = a_first + jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        # group membership / per-row tile origin & rank base ([K,1] and
+        # [1,K] orientations built directly — no relayout transposes)
+        m_c, m_r = [], []
+        ox_c = jnp.zeros((k, 1), jnp.float32)
+        oy_c = jnp.zeros((k, 1), jnp.float32)
+        rank_c = jnp.zeros((k, 1), jnp.int32)
+        gid_c = jnp.full((k, 1), -1, jnp.int32)
+        gid_r = jnp.full((1, k), -1, jnp.int32)
+        for i, (t, s_i, c_i, _, _) in enumerate(metas):
+            mc = (ridx_c >= s_i) & (ridx_c < s_i + c_i)
+            mr = (ridx_r >= s_i) & (ridx_r < s_i + c_i)
+            m_c.append(mc)
+            m_r.append(mr)
+            oxf = ((t % grid_x) * tile_x).astype(jnp.float32)
+            oyf = ((t // grid_x + y0_ref[0]) * tile_y).astype(jnp.float32)
+            ox_c = jnp.where(mc, oxf, ox_c)
+            oy_c = jnp.where(mc, oyf, oy_c)
+            rank_c = jnp.where(mc, ridx_c - s_i + 1, rank_c)
+            gid_c = jnp.where(mc, i, gid_c)
+            gid_r = jnp.where(mr, i, gid_r)
+        valid_c = gid_c >= 0
+        # exact per-row pixel coordinates: integer origin + local iota
+        l = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+        lx = (l % tile_x).astype(jnp.float32)
+        ly = (l // tile_x).astype(jnp.float32)
+        pxf = ox_c + lx                                          # [K, P]
+        pyf = oy_c + ly
+        opac_m = jnp.where(valid_c, attr[5, :].reshape(k, 1), 0.0)
+        _, _, _, _, a_eff = _chunk_alpha(attr, pxf, pyf, k, p, opac=opac_m)
+        # group-segmented prefix product: zero cross-group entries of the
+        # triangular operator; same [K,K]@[K,P] contraction as _prefix_mul
+        r_kk = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+        c_kk = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+        seg = ((r_kk >= c_kk) & (gid_c == gid_r)
+               & valid_c).astype(jnp.float32)
+        tt = jnp.exp(jax.lax.dot_general(
+            seg, jnp.log(1.0 - a_eff), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        is_start = rank_c == 1
+        tprev = jnp.where(is_start, 1.0, pltpu.roll(tt, shift=1, axis=0))
+        live = tt >= T_EPS
+        w = a_eff * tprev * live.astype(jnp.float32)
+        # color: rows 3i+c of a [16,K] group-masked matrix -> one MXU dot
+        crows = []
+        for i in range(tps):
+            for c in range(3):
+                crows.append(jnp.where(m_r[i], attr[6 + c:7 + c, :], 0.0))
+        crows.extend([jnp.zeros((1, k), jnp.float32)] * (16 - 3 * tps))
+        cmat = jnp.concatenate(crows, axis=0)                    # [16, K]
+        call = jax.lax.dot_general(
+            cmat, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                 # [16, P]
+        crossing = ((tprev > 0.5) & (tt < 0.5)).astype(jnp.float32)
+        drows = [jnp.where(m_r[i], attr[9:10, :], 0.0) for i in range(tps)]
+        drows.extend([jnp.zeros((1, k), jnp.float32)] * (8 - tps))
+        dall = jax.lax.dot_general(
+            jnp.concatenate(drows, axis=0), crossing,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                 # [8, P]
+        for i in range(tps):
+            t_i = jnp.minimum(one_t, jnp.min(
+                jnp.where(m_c[i] & live, tt, 2.0), axis=0, keepdims=True))
+            color_ref[i] = call[3 * i:3 * i + 3]
+            aux_ref[i, 0, :] = jnp.where(t_i < 0.5, dall[i:i + 1],
+                                         DEPTH_DEFAULT)[0]
+            aux_ref[i, 1, :] = t_i[0]
+            if need_aux:
+                contrib = (a_eff > 0.0) & live & m_c[i]
+                nc = jnp.max(jnp.where(contrib, rank_c, 0), axis=0,
+                             keepdims=True)
+                aux_ref[i, 2, :] = nc.astype(jnp.float32)[0]
+
+
 def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
                 color_ref, aux_ref, attr_vmem, c0_vmem, sem, c0_sem,
                 *, k, p, grid_x, tile_x, tile_y, nt, tps,
-                prefix="roll", need_aux=True, alpha_matmul=False):
+                prefix="roll", need_aux=True, alpha_matmul=False,
+                pack_small=False):
     """Each grid step owns ``tps`` consecutive tiles: per-tile fixed costs
     (grid bookkeeping, output-window DMAs, and — via the batched chunk-0
     prefetch below — the first HBM fetch latency) measured ~3us/tile,
-    ~40% of the 460k-instance frame, so they are amortized 1/tps."""
+    ~40% of the 460k-instance frame, so they are amortized 1/tps.
+
+    ``pack_small``: when every tile of a grid step fits in ONE aligned
+    [K]-row window (measured ~50% of steps at bench scale — background
+    regions), serve the whole step with a single chunk pipeline instead
+    of tps of them: a group-segmented prefix plus group-masked output
+    contractions attack the 1-chunk-per-tile compute minimum that is
+    ~37% of the frame (docs/PERF.md).  Bit-identical to the per-tile
+    path: per-row integer tile origins reproduce the exact dx = gx - px
+    rounding, and the segmented [K,K] prefix/[*,K] output matmuls place
+    the same values at the same contraction positions."""
     step = pl.program_id(0)
     rows1 = _row_iota(k, p)
     rows_col = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
@@ -313,18 +434,70 @@ def _fwd_kernel(starts_ref, counts_ref, y0_ref, attr_hbm,
         nchunks = pl.cdiv(start - astart + count, k)
         return t, start, count, astart, nchunks
 
+    # packed-step eligibility (traced): all tps tile ranges inside one
+    # aligned [k]-row window.  Only the matmul prefix segments cheaply.
+    pack = pack_small and prefix == "matmul" and not alpha_matmul
+    if pack:
+        metas = [tile_meta(i) for i in range(tps)]
+        a_first = metas[0][3]
+        end_max = metas[0][1] + metas[0][2]
+        total = metas[0][2]
+        for _, s_i, c_i, _, _ in metas[1:]:
+            end_max = jnp.maximum(end_max, s_i + c_i)
+            total = total + c_i
+        packable = (end_max - a_first) <= k
+        not_packable = jnp.logical_not(packable)
+
+        @pl.when(packable & (total > 0))
+        def _():
+            pltpu.make_async_copy(
+                attr_hbm.at[:, pl.ds(a_first, k)], c0_vmem.at[0],
+                c0_sem.at[0]).start()
+
     # batch-issue every tile's FIRST chunk DMA up front: its HBM latency
     # hides behind the preceding tiles' compute instead of stalling each
     # tile's loop entry
     for i in range(tps):
         _, _, _, astart_i, nchunks_i = tile_meta(i)
+        want = nchunks_i > 0
+        if pack:
+            want = want & not_packable
 
-        @pl.when(nchunks_i > 0)
+        @pl.when(want)
         def _(i=i, astart_i=astart_i):
             pltpu.make_async_copy(
                 attr_hbm.at[:, pl.ds(astart_i, k)], c0_vmem.at[i],
                 c0_sem.at[i]).start()
 
+    if pack:
+        @pl.when(packable)
+        def _():
+            _packed_step(
+                metas, total, a_first, y0_ref, attr_hbm, c0_vmem, c0_sem,
+                color_ref, aux_ref, k=k, p=p, grid_x=grid_x, tile_x=tile_x,
+                tile_y=tile_y, tps=tps, need_aux=need_aux)
+
+        @pl.when(not_packable)
+        def _():
+            _per_tile_steps(
+                tile_meta, y0_ref, attr_hbm, color_ref, aux_ref, attr_vmem,
+                c0_vmem, sem, c0_sem, rows1, rows_col, cols_row,
+                pix_basis=None, k=k, p=p, grid_x=grid_x, tile_x=tile_x,
+                tile_y=tile_y, tps=tps, prefix=prefix, need_aux=need_aux,
+                alpha_matmul=alpha_matmul)
+    else:
+        _per_tile_steps(
+            tile_meta, y0_ref, attr_hbm, color_ref, aux_ref, attr_vmem,
+            c0_vmem, sem, c0_sem, rows1, rows_col, cols_row,
+            pix_basis=pix_basis if alpha_matmul else None, k=k, p=p,
+            grid_x=grid_x, tile_x=tile_x, tile_y=tile_y, tps=tps,
+            prefix=prefix, need_aux=need_aux, alpha_matmul=alpha_matmul)
+
+
+def _per_tile_steps(tile_meta, y0_ref, attr_hbm, color_ref, aux_ref,
+                    attr_vmem, c0_vmem, sem, c0_sem, rows1, rows_col,
+                    cols_row, *, pix_basis, k, p, grid_x, tile_x, tile_y,
+                    tps, prefix, need_aux, alpha_matmul):
     for i in range(tps):
         t, start, count, astart, nchunks = tile_meta(i)
         if alpha_matmul:
@@ -470,7 +643,8 @@ def _assemble(x, grid_y, grid_x, tile_y, tile_x, height, width, ch=None):
 def forward_tiles_pallas(bins, bg, width, height, tile_x, tile_y, chunk,
                          prefix="roll", grid_y_local: int = 0,
                          y0_tiles=None, need_aux: bool = True,
-                         alpha_matmul: bool = False):
+                         alpha_matmul: bool = False,
+                         pack_small: bool = False):
     """bins: binning.StagedBins (gather-free staged instance table).
 
     ``grid_y_local``/``y0_tiles``: strip mode — bins cover only
@@ -493,7 +667,8 @@ def forward_tiles_pallas(bins, bg, width, height, tile_x, tile_y, chunk,
     kern = functools.partial(_fwd_kernel, k=k, p=p, grid_x=grid_x,
                              tile_x=tile_x, tile_y=tile_y, nt=nt, tps=tps,
                              prefix=prefix, need_aux=need_aux,
-                             alpha_matmul=alpha_matmul)
+                             alpha_matmul=alpha_matmul,
+                             pack_small=pack_small)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ntp // tps,),
