@@ -208,7 +208,13 @@ def deform(params: GaussianParams, nets: NetParams, cfg: ModelConfig,
 
     if cfg.drot:
         rot = math3d.quat_normalize(params.rotation + rr[:4].T)
-        scaling = jnp.exp(params.scaling + rr[4:].T)
+        # logit cap 30: the post-step clamp bounds params.scaling at
+        # log(2*extent) but the per-frame net residual is unbounded, and
+        # exp overflow -> inf cov3d -> NaN gradient chains even for
+        # points the rasterizer culls (0 cotangent * inf partial).  Any
+        # legitimate splat is < e^7; e^30 still renders (huge, finite)
+        # and gradients keep flowing to shrink it.
+        scaling = jnp.exp(jnp.minimum(params.scaling + rr[4:].T, 30.0))
     else:
         rot = get_rotation(params)
         scaling = get_scaling(params)

@@ -133,13 +133,23 @@ def transform_point_4x3_cols(px, py, pz, m):
 
 
 def project_points_cols(px, py, pz, projmat):
-    """Column version of ``project_points`` -> (ndc_x, ndc_y, ndc_z)."""
+    """Column version of ``project_points`` -> (ndc_x, ndc_y, ndc_z).
+
+    The denominator is sanitized where |hw + eps| < 1e-4: such points sit
+    AT the camera plane and are frustum-culled (z <= 0.2) long before
+    compositing, but 1/(~0) would put an inf PRIMAL in the graph and the
+    VJP then turns the culled point's zero cotangent into 0*inf = NaN,
+    poisoning every geometric gradient group (the reference hits the same
+    NaN and asserts, saro_gaussian.py:278-279).  Visible points always
+    have hw + eps >= 0.2, so surviving values are bit-identical."""
     m = projmat
     hx = px * m[0, 0] + py * m[1, 0] + pz * m[2, 0] + m[3, 0]
     hy = px * m[0, 1] + py * m[1, 1] + pz * m[2, 1] + m[3, 1]
     hz = px * m[0, 2] + py * m[1, 2] + pz * m[2, 2] + m[3, 2]
     hw = px * m[0, 3] + py * m[1, 3] + pz * m[2, 3] + m[3, 3]
-    inv_w = 1.0 / (hw + W_EPS)
+    denom = hw + W_EPS
+    denom = jnp.where(jnp.abs(denom) < 1e-4, 1.0, denom)
+    inv_w = 1.0 / denom
     return hx * inv_w, hy * inv_w, hz * inv_w
 
 
@@ -185,6 +195,13 @@ def compute_cov2d_cols(px, py, pz, focal_x, focal_y, tan_fovx, tan_fovy,
     are needed)."""
     xx, xy, xz, yy, yz, zz = cov6
     tx_, ty_, tz = transform_point_4x3_cols(px, py, pz, viewmat)
+    # near-plane-culled points (z <= NEAR_CULL_Z, masked by the caller)
+    # must not put 1/~0 infs in the primal graph: their zero cotangent
+    # times an inf partial is NaN, which poisons the whole gradient
+    # (see project_points_cols).  tz > NEAR_CULL_Z is exactly the
+    # caller's in_front predicate, so every surviving value is
+    # bit-identical to the reference math (forward.cu:74-113).
+    tz = jnp.where(tz > NEAR_CULL_Z, tz, 1.0)
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
     txtz = tx_ / tz

@@ -215,6 +215,19 @@ def preprocess(means3d: jnp.ndarray,
         rgb_cols, clamp_cols = sh.eval_sh_color_cols(
             sh_degree, shs.astype(f32), px, py, pz, cam.campos)
 
+    # degenerate-payload cull: a splat whose COMPOSITED attributes (color,
+    # opacity, depth) are non-finite poisons every pixel it touches — the
+    # conic/position cull above cannot see it (e.g. the r4 arena
+    # degenerates: collapsed scale + saturated opacity logits rendering
+    # NaN SH colors on the views that saw them, wasting ~36% of late
+    # steps on skip-guard trips).  The reference ASSERTS on the resulting
+    # NaN grads (saro_gaussian.py:278-279); culling is the recoverable
+    # choice — the point simply contributes nothing until its params heal.
+    op_col = opacities.astype(f32).reshape(-1)
+    mask = (mask & jnp.isfinite(depth) & jnp.isfinite(op_col)
+            & jnp.isfinite(rgb_cols[0]) & jnp.isfinite(rgb_cols[1])
+            & jnp.isfinite(rgb_cols[2]))
+
     radii = jnp.where(mask, radius_f, 0.0).astype(jnp.int32)
     tiles = jnp.where(mask, tiles, 0)
     return PreprocessOut(
