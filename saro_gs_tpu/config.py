@@ -46,6 +46,7 @@ class Config:
                                                                      4, 8])
     planemodel: str = "scale_aware"
     min_intergral: float = 0.1
+    integral_renorm: bool = False      # boundary-renormalized Eq. 22 (model)
     min_interval: float = 1.0
     sigmoid_tcenter: bool = False
     pw: bool = False
@@ -131,6 +132,11 @@ class Config:
     # relative scale floor (x camera extent) applied after each Adam step;
     # 0 = off (reference has no floor).  See train/step.py StepStatics.
     scale_floor: float = 0.0
+    # prune points whose max scale < prune_min_scale * extent at each
+    # densify pass; 0 = off (reference has no tiny-scale prune).  Targets
+    # the collapsed-scale/saturated-opacity speckle population (see
+    # models/densify.py prune section).
+    prune_min_scale: float = 0.0
     seed: int = 666
     data_workers: int = 4
     mesh_data: int = 1                 # device-mesh axes (parallel/)
@@ -162,6 +168,7 @@ class Config:
             dx=self.dx, drot=self.drot, dopacity=self.dopacity,
             dsh=self.dsh, sigmoid_tcenter=self.sigmoid_tcenter,
             min_intergral=self.min_intergral,
+            integral_renorm=self.integral_renorm,
             min_interval=self.min_interval,
             scale_reg=self.scale_reg, shs_reg=self.shs_reg,
             motion_reg=self.motion_reg, field=self.field_config())

@@ -94,7 +94,8 @@ def densify_pruneclone(params: gm.GaussianParams, mu, nu,
                        inv_integral: jnp.ndarray,        # [C, 1]
                        integral: jnp.ndarray,            # [C, 1]
                        min_intergral: float,
-                       prune_z: bool, prune_big_ws: bool) -> DensifyResult:
+                       prune_z: bool, prune_big_ws: bool,
+                       min_scale_abs: float = 0.0) -> DensifyResult:
     """One densify+prune pass (saro_gaussian.py:646-739).
 
     ``integral`` is the current temporal-opacity integral (computed by the
@@ -187,6 +188,14 @@ def densify_pruneclone(params: gm.GaussianParams, mu, nu,
             prune = prune | big_vs | big_ws
         else:
             prune = prune | big_vs
+    if min_scale_abs > 0.0:
+        # collapsed-scale prune (config prune_min_scale, x extent; NOT in
+        # the reference): the log-space scale walk is unbounded below and
+        # the +0.3 low-pass hides sub-pixel shrinkage, so speckle-fitting
+        # points collapse to ~1e-8-scale max-opacity dots (r5 arena: 41k
+        # of 120k by it 8000) that waste capacity and overfit train views
+        prune = prune | (gm.get_scaling(params_new).max(axis=1)
+                         < min_scale_abs)
     alive_out = jnp.where(prune, 0.0, alive_new)
     n_pruned = jnp.sum((alive_new > 0) & prune).astype(jnp.int32)
 

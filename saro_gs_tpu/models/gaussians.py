@@ -34,6 +34,12 @@ class ModelConfig(NamedTuple):
     sigmoid_tcenter: bool = False
     min_intergral: float = 0.1
     min_interval: float = 1.0
+    # boundary-renormalize Eq. 22: divide by the fraction of the point's
+    # temporal mass inside [0, 1] (clipped to <= 4x boost) so a splat
+    # centered at t~0/t~1 is not integral-pruned / LR-starved for mass
+    # the clip window cannot see.  Deviation from the reference (off by
+    # default); targets the t-edge frame quality ceiling.
+    integral_renorm: bool = False
     scale_reg: bool = True
     shs_reg: bool = False
     motion_reg: bool = False
@@ -254,7 +260,16 @@ def temporal_integral(params: GaussianParams, nets: NetParams,
     c = 2.0 * math.sqrt(2.0)
     p1 = Q(c * (end - t_pos) / lifespan)
     p2 = Q(c * (start - t_pos) / lifespan)
-    return lifespan * (math.sqrt(math.pi) / 2.0) * (p1 - p2)
+    integral = lifespan * (math.sqrt(math.pi) / 2.0) * (p1 - p2)
+    if cfg.integral_renorm:
+        # Q(+inf) - Q(-inf) = 1, so p1 - p2 IS the in-window mass
+        # fraction.  Dividing by it (clipped: boost <= 4x so a point
+        # fully OUTSIDE [0,1] stays integral-prunable) makes an edge-
+        # centered splat's integral match its unclipped mass instead of
+        # penalizing it for mass past the boundary (cfg.integral_renorm;
+        # deviation from saro_gaussian.py:761-777).
+        integral = integral / jnp.clip(p1 - p2, 0.25, 1.0)
+    return integral
 
 
 # ---------------------------------------------------------------------------

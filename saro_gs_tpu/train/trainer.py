@@ -197,7 +197,9 @@ class Trainer:
             integral=integral,
             min_intergral=self.mcfg.min_intergral,
             prune_z=self.cfg.loader == "colmap",
-            prune_big_ws=self.cfg.pw)
+            prune_big_ws=self.cfg.pw,
+            min_scale_abs=self.cfg.prune_min_scale *
+            self.scene.cameras_extent)
         opt = state.opt._replace(
             mu={"points": res.mu, "nets": state.opt.mu["nets"]},
             nu={"points": res.nu, "nets": state.opt.nu["nets"]})

@@ -231,3 +231,32 @@ def test_convert_coarse_to_fine(rng):
         src_y = 0 if b == 3 else int(round(0.25 * (ho - 1)))
         src_x = 0 if a == 3 else int(round(0.25 * (wo - 1)))
         np.testing.assert_allclose(p[:, 0, 0], o[:, src_y, src_x], rtol=1e-6)
+
+
+def test_integral_renorm_boosts_edge_centers(rng):
+    """integral_renorm divides Eq. 22 by the in-[0,1] mass fraction
+    (boost clipped at 4x): an edge-centered splat's integral rises to
+    ~its unclipped mass, an interior splat's is unchanged, and a far-
+    outside splat keeps the max clip (stays integral-prunable)."""
+    cfg = gm.ModelConfig(field=_small_cfg(), min_interval=0.5)
+    cfg_rn = cfg._replace(integral_renorm=True)
+    key = jax.random.PRNGKey(0)
+    nets = gm.init_nets(key, cfg)
+    n = 8
+    pcd = gm.PointCloud(points=rng.uniform(-1, 1, (n, 3)),
+                        colors=rng.uniform(0, 1, (n, 3)))
+    params, alive = gm.create_from_pcd(key, pcd, 8, cfg)
+    tc = np.array([0.0, 0.5, 1.0, -3.0, 0.02, 0.98, 0.4, 0.6],
+                  np.float32)[:, None]
+    params = params._replace(temporal_pos=jnp.asarray(tc))
+    st = field_mod.make_static([-1.5] * 3, [1.5] * 3, 50)
+    base = np.asarray(gm.temporal_integral(params, nets, cfg, st))[:, 0]
+    rn = np.asarray(gm.temporal_integral(params, nets, cfg_rn, st))[:, 0]
+    # interior points (0.4-0.6): essentially unchanged
+    np.testing.assert_allclose(rn[[1, 6, 7]], base[[1, 6, 7]], rtol=2e-2)
+    # edge centers: boosted ~2x (half the mass was outside)
+    assert 1.5 < rn[0] / base[0] < 2.5, (base[0], rn[0])
+    assert 1.5 < rn[2] / base[2] < 2.5, (base[2], rn[2])
+    # far outside [0,1]: boost capped at 4x, integral stays tiny
+    assert rn[3] <= 4.0 * base[3] + 1e-8
+    assert rn[3] < 1e-3
