@@ -33,6 +33,7 @@ reference's atomicAdd backward.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -364,20 +365,23 @@ def _packed_step(metas, total, a_first, y0_ref, attr_hbm, c0_vmem, c0_sem,
         tprev = jnp.where(is_start, 1.0, pltpu.roll(tt, shift=1, axis=0))
         live = tt >= T_EPS
         w = a_eff * tprev * live.astype(jnp.float32)
-        # color: rows 3i+c of a [16,K] group-masked matrix -> one MXU dot
+        # color: rows 3i+c of a group-masked [~3*tps, K] matrix -> one MXU
+        # dot (row count padded to the f32 sublane tile)
+        ncrow = -(-3 * tps // 8) * 8
+        ndrow = -(-tps // 8) * 8
         crows = []
         for i in range(tps):
             for c in range(3):
                 crows.append(jnp.where(m_r[i], attr[6 + c:7 + c, :], 0.0))
-        crows.extend([jnp.zeros((1, k), jnp.float32)] * (16 - 3 * tps))
-        cmat = jnp.concatenate(crows, axis=0)                    # [16, K]
+        crows.extend([jnp.zeros((1, k), jnp.float32)] * (ncrow - 3 * tps))
+        cmat = jnp.concatenate(crows, axis=0)                 # [ncrow, K]
         call = jax.lax.dot_general(
             cmat, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                 # [16, P]
+            precision=jax.lax.Precision.HIGHEST)              # [ncrow, P]
         crossing = ((tprev > 0.5) & (tt < 0.5)).astype(jnp.float32)
         drows = [jnp.where(m_r[i], attr[9:10, :], 0.0) for i in range(tps)]
-        drows.extend([jnp.zeros((1, k), jnp.float32)] * (8 - tps))
+        drows.extend([jnp.zeros((1, k), jnp.float32)] * (ndrow - tps))
         dall = jax.lax.dot_general(
             jnp.concatenate(drows, axis=0), crossing,
             (((1,), (0,)), ((), ())),
@@ -660,7 +664,10 @@ def forward_tiles_pallas(bins, bg, width, height, tile_x, tile_y, chunk,
     nt = grid_x * grid_y
     y0 = (jnp.zeros((1,), jnp.int32) if y0_tiles is None
           else jnp.asarray(y0_tiles, jnp.int32).reshape(1))
-    tps = min(4, nt)                  # tiles per grid step (amortization)
+    # tiles per grid step (amortization; see _fwd_kernel).  4 measured
+    # best pre-pack; SARO_TPS is the A/B knob now that pack_small makes
+    # larger steps attractive (more tiles share one packed chunk).
+    tps = min(int(os.environ.get("SARO_TPS", "4")), nt)
     ntp = -(-nt // tps) * tps
     naux = 3 if need_aux else 2
 
