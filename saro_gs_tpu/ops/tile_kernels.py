@@ -104,19 +104,23 @@ def _chunk_alpha(attr, pxf, pyf, k, p, opac=None):
     ``opac``: [K, 1] opacity column override — callers fold row-wise
     masks (tile-range rank validity) into it so no [K, P] mask pass is
     ever spent on them.  The reference's broken-conic guard
-    (forward.cu:310 `power > 0 -> skip`) is omitted here: preprocess
-    guarantees PD conics (cov2d + 0.3·I), so power > 0 can only happen
-    at rounding level (g = exp(+1e-7) ~ 1) — the jax oracle keeps the
-    guard and the parity suites bound the difference."""
+    (forward.cu:310 / backward.cu `power > 0 -> skip`) IS enforced:
+    preprocess guarantees PD conics in f32, but bf16 sort-payload
+    packing can flip a near-singular needle splat's conic indefinite
+    (det -0.009 observed on the r4 arena ckpt), and an unguarded
+    exp(power>0) overflows — finite-but-garbage alpha in the forward,
+    inf*0 = NaN moment gradients in the backward replay.  exp(min(p,0))
+    keeps g finite (bit-exact where power <= 0) and the power <= 0 gate
+    zeroes the contribution exactly like the reference's skip."""
     def row(i):
         return attr[i, :].reshape(k, 1)
     dx = row(0) - pxf            # [K, P]
     dy = row(1) - pyf
     ca, cb, cc = row(2), row(3), row(4)
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    g = jnp.exp(power)
+    g = jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.minimum(ALPHA_MAX, (row(5) if opac is None else opac) * g)
-    a_eff = jnp.where(alpha >= ALPHA_MIN, alpha, 0.0)
+    a_eff = jnp.where((alpha >= ALPHA_MIN) & (power <= 0.0), alpha, 0.0)
     return dx, dy, g, alpha, a_eff
 
 
@@ -169,10 +173,11 @@ def _chunk_alpha_mm(attr, pix_basis, oxf, oyf, k, p, need_dxdy=False,
         coeff, pix_basis, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)        # [K, P]
-    g = jnp.exp(power)
+    # broken-conic guard: see _chunk_alpha (forward.cu:310)
+    g = jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.minimum(
         ALPHA_MAX, (attr[5, :].reshape(k, 1) if opac is None else opac) * g)
-    a_eff = jnp.where(alpha >= ALPHA_MIN, alpha, 0.0)
+    a_eff = jnp.where((alpha >= ALPHA_MIN) & (power <= 0.0), alpha, 0.0)
     dx = dy = None
     if need_dxdy:
         dx = attr[0, :].reshape(k, 1) - (oxf + pix_basis[1:2, :])
