@@ -276,3 +276,39 @@ def test_alpha_matmul_forward_and_grads(rng):
         x, y = np.asarray(x), np.asarray(y)
         err = np.abs(x - y).max() / (np.abs(x).max() + 1e-6)
         assert err < 2e-2, f"{name}: rel err {err}"
+
+
+def test_needle_splat_packed_grads_finite(rng):
+    """Regression: a near-singular needle splat's conic can go INDEFINITE
+    under bf16 payload packing (det < 0 observed on a real checkpoint);
+    without the reference's power>0 skip guard (forward.cu:310) the
+    backward replay overflows exp(power) into NaN geometry gradients
+    while color gradients stay finite.  All grads must be finite and the
+    forward must stay finite in every prefix/packing combination."""
+    cam, meta = make_camera()
+    means, scales, quats, opac, shs = make_gaussians(rng, n=24)
+    scales = scales.copy()
+    # extreme needles: one huge axis, two collapsed (vary orientation)
+    scales[::3] = np.array([2.0, 1e-6, 1e-6], np.float32)
+    scales[1::3] = np.array([1e-6, 3.0, 1e-7], np.float32)
+    bg = np.array([0.1, 0.2, 0.3], np.float32)
+    w, h = meta["width"], meta["height"]
+    d_color = jnp.asarray(rng.uniform(-1, 1, (3, h, w)).astype(np.float32))
+    for prefix, packed in (("matmul", True), ("matmul", False),
+                           ("roll", True)):
+        cfg = CFG_PALLAS._replace(prefix=prefix, packed=packed,
+                                  tight_rect=True, expander="pallas")
+
+        def loss(means, scales, quats, opac, shs, cfg=cfg):
+            out = rasterize(means, scales, quats, opac, cam,
+                            jnp.asarray(bg), width=w, height=h,
+                            sh_degree=3, config=cfg, shs=shs)
+            return jnp.sum(out.color * d_color), out.color
+
+        (val, color), grads = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3, 4), has_aux=True)(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(shs))
+        assert np.isfinite(np.asarray(color)).all(), (prefix, packed)
+        for g in grads:
+            assert np.isfinite(np.asarray(g)).all(), (prefix, packed)
